@@ -1,0 +1,95 @@
+"""Fold driver: jitted span-wavefront fill producing all DP matrices.
+
+Mirrors W_final::ccj's fill loop (reference: src/W_final.cc:58-77) in span
+order; the exterior W pass and traceback run on host (engine/traceback.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params.pk import PKPenalties
+from ..params.scaling import ScaledParams
+from ..precompute import SeqTables
+from .common import SAT16, TRI_UNSET, V_UNSET, INF
+from .gapped import M4_NAMES, compute_P_WBP_WPP_span, gapped_step
+from .nested import compute_V_span, compute_WMv_WMp_WM_span
+
+
+def build_consts(tabs: SeqTables, P: ScaledParams, pk: PKPenalties):
+    """Device-constant dict consumed by the fill."""
+    C = {
+        "n": tabs.n,
+        "ptype": jnp.asarray(tabs.ptype),
+        "can_pair": jnp.asarray(tabs.can_pair),
+        "H": jnp.asarray(tabs.H),
+        "EINT": jnp.asarray(tabs.EINT),
+        "EINTP": jnp.asarray(tabs.EINTP),
+        "ESTP": jnp.asarray(tabs.ESTP),
+        "MLbase": P.MLbase,
+        "PSM": pk.PSM,
+        "PSP": pk.PSP,
+        "PB": pk.PB,
+        "PUP": pk.PUP,
+        "PPS": pk.PPS,
+        "b": pk.b,
+        "bp": pk.bp,
+        "cp": pk.cp,
+        "ap": pk.ap,
+    }
+    for name in ("ML0", "ML2", "ML_ip1", "ML_jm1", "ML_both",
+                 "MB0", "MB2", "MB_5", "MB_3", "MB_53"):
+        C[name] = jnp.asarray(getattr(tabs, name))
+    return C
+
+
+def init_state(n: int):
+    n2 = n + 2
+    T = max(n - 1, 1)
+    S = max(n, 1)
+    ii = np.arange(n2)[:, None]
+    jj = np.arange(n2)[None, :]
+    st = {
+        # V getter semantics baked in: INF on i>=j, nodes default elsewhere
+        "V": jnp.asarray(np.where(ii < jj, V_UNSET, INF).astype(np.int32)),
+        "Vtype": jnp.zeros((n2, n2), dtype=jnp.int8),
+        "WM": jnp.full((n2, n2), TRI_UNSET, dtype=jnp.int32),
+        "WMv": jnp.full((n2, n2), TRI_UNSET, dtype=jnp.int32),
+        "WMp": jnp.full((n2, n2), TRI_UNSET, dtype=jnp.int32),
+        "P2": jnp.full((n2, n2), TRI_UNSET, dtype=jnp.int32),
+        "WBP": jnp.full((n2, n2), TRI_UNSET, dtype=jnp.int32),
+        "WPP": jnp.full((n2, n2), TRI_UNSET, dtype=jnp.int32),
+    }
+    for name in M4_NAMES:
+        st[name] = jnp.full((T, S, n2, n2), SAT16, dtype=jnp.int16)
+    return st
+
+
+@functools.partial(jax.jit, static_argnames=("n", "dangles"))
+def fill(C, n: int, dangles: int):
+    C = {**C, "n": n}  # keep the length static under jit
+    st = init_state(n)
+
+    def span_body(s, st):
+        st = compute_V_span(C, st, s, dangles)
+        st = compute_P_WBP_WPP_span(C, st, s)
+
+        def t_body(m, st4):
+            return gapped_step(C, st4, s, s - 2 - m)
+
+        st = jax.lax.fori_loop(0, jnp.maximum(s - 1, 0), t_body, st)
+        st = compute_WMv_WMp_WM_span(C, st, s, dangles)
+        return st
+
+    return jax.lax.fori_loop(0, n, span_body, st)
+
+
+def run_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties):
+    """Run the device fill and return all matrices as host numpy arrays."""
+    C = build_consts(tabs, P, pk)
+    st = fill(C, tabs.n, P.dangles)
+    return {k: np.asarray(v) for k, v in st.items()}

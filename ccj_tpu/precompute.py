@@ -235,10 +235,12 @@ def build_seq_tables(
     ll_c = np.clip(ll, 0, n + 1)
     typ = pt[np.clip(ii, 0, n + 1), np.clip(jj, 0, n + 1)]
     typ2 = RTYPE[pt[kk_c, ll_c]]
-    si1 = S[np.clip(ii + 1, 0, n + 1)]
-    sj1 = S[np.clip(jj - 1, 0, n + 1)]
-    sp1 = S[np.clip(kk - 1, 0, n + 1)]
-    sq1 = S[np.clip(ll + 1, 0, n + 1)]
+    # S[0] holds the length; cells touching it are masked invalid, clip codes
+    Sc = np.clip(S, 0, 4)
+    si1 = Sc[np.clip(ii + 1, 0, n + 1)]
+    sj1 = Sc[np.clip(jj - 1, 0, n + 1)]
+    sp1 = Sc[np.clip(kk - 1, 0, n + 1)]
+    sq1 = Sc[np.clip(ll + 1, 0, n + 1)]
     eint = _E_IntLoop_vec(di - 1, dj - 1, typ, typ2, si1, sj1, sp1, sq1, P)
     EINT = np.where(valid, eint, INF).astype(np.int32)
 

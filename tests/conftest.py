@@ -2,13 +2,17 @@ import os
 import sys
 from pathlib import Path
 
-# Multi-chip tests run on a virtual 8-device CPU mesh; the TPU (if any) is
-# exercised by bench.py, not the unit tests.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+# Unit tests run on CPU with a virtual 8-device mesh for sharding tests; the
+# real TPU is exercised by bench.py.  The environment force-registers the TPU
+# ("axon") platform via sitecustomize, so the platform must be overridden
+# through the config API, not JAX_PLATFORMS.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))

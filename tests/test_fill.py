@@ -1,0 +1,89 @@
+"""Cell-level parity: the JAX span-wavefront fill vs the reference's matrices."""
+
+import numpy as np
+import pytest
+
+from ccj_tpu.engine.fold import run_fill
+from ccj_tpu.params import DEFAULT_PK, parse_par, scale_parameters, default_tables, dna_mathews2004_tables
+from ccj_tpu.precompute import build_seq_tables
+
+from oracle_util import REPO, run_oracle
+
+TYPE_MAP = {0: ord("N"), 1: ord("H"), 2: ord("I"), 3: ord("M")}
+
+
+def mine_to_dense4(M, n):
+    """[tt, s, i, j] int16 -> dense [n+1]^4 over valid cells (-1 elsewhere)."""
+    out = np.full((n + 1, n + 1, n + 1, n + 1), -1, dtype=np.int32)
+    for i in range(1, n + 1):
+        for j in range(i, n + 1):
+            for k in range(j + 2, n + 1):
+                tt = k - j - 2
+                ls = np.arange(k, n + 1)
+                out[i, j, k, k:] = M[tt, ls - i, i, j]
+    return out
+
+
+def run_mine(seq, dangles=2, par="params/rna_DirksPierce09.par", no_gu=False):
+    if par == "DNA":
+        tables = dna_mathews2004_tables()
+    elif par == "DEFAULT":
+        tables = default_tables()
+    else:
+        tables = parse_par(REPO / par)
+    sp = scale_parameters(tables, dangles=dangles)
+    tabs = build_seq_tables(seq, sp, DEFAULT_PK, no_gu=no_gu)
+    return run_fill(tabs, sp, DEFAULT_PK)
+
+
+CASES = [
+    ("GCGCUUCGCCGCGCCA", 2, "params/rna_DirksPierce09.par", 0),
+    ("GGGAAACGGGCGAUCC", 2, "params/rna_Turner04.par", 0),
+    ("GGGAAACGGGCGAUCC", 0, "params/rna_DirksPierce09.par", 0),
+    ("GGGAAACGGGCGAUCC", 1, "params/rna_DirksPierce09.par", 0),
+    ("GGGAAACGGGCGAUCC", 2, "params/rna_DirksPierce09.par", 1),
+]
+
+
+@pytest.mark.parametrize("seq,dangles,par,nogu", CASES)
+def test_fill_matches_reference(seq, dangles, par, nogu):
+    n = len(seq)
+    dump = run_oracle(seq, dangles, par, nogu)
+    mats = run_mine(seq, dangles, par, bool(nogu))
+
+    ri, rj = np.triu_indices(n + 1, k=1)
+    keep = ri >= 1
+    iu = (ri[keep], rj[keep])  # 1<=i<j cells
+
+    # V energies + types
+    refV = dump["V"]
+    np.testing.assert_array_equal(mats["V"][: n + 1, : n + 1][iu], refV[iu], "V")
+    myT = np.vectorize(TYPE_MAP.get)(mats["Vtype"][: n + 1, : n + 1][iu])
+    np.testing.assert_array_equal(myT, dump["Vtype"][iu], "Vtype")
+
+    r0, c0 = np.triu_indices(n + 1)
+    keep0 = r0 >= 1
+    iu0 = (r0[keep0], c0[keep0])  # 1<=i<=j
+    for name in ("WM", "WMv", "WMp", "P2", "WBP", "WPP"):
+        np.testing.assert_array_equal(
+            mats[name][: n + 1, : n + 1][iu0], dump[name][iu0], name
+        )
+
+    for name in (
+        "PK", "PL", "PR", "PM", "PO",
+        "PfromL", "PfromR", "PfromM", "PfromMprime", "PfromO",
+        "PLmloop00", "PLmloop01", "PLmloop10",
+        "PRmloop00", "PRmloop01", "PRmloop10",
+        "PMmloop00", "PMmloop01", "PMmloop10",
+        "POmloop00", "POmloop01", "POmloop10",
+    ):
+        ref = dump.dense4(name)
+        mine = mine_to_dense4(mats[name], n)
+        sel = ref != -1
+        if not np.array_equal(mine[sel], ref[sel]):
+            bad = np.argwhere((mine != ref) & sel)
+            i, j, k, l = bad[0]
+            raise AssertionError(
+                f"{name}: {len(bad)} mismatches; first at (i,j,k,l)={tuple(bad[0])}: "
+                f"mine={mine[i,j,k,l]} ref={ref[i,j,k,l]}"
+            )
