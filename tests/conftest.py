@@ -13,6 +13,9 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the fill graph recompiles per (n, dangles)
+jax.config.update("jax_compilation_cache_dir", "/tmp/ccj_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))

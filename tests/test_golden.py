@@ -1,0 +1,61 @@
+"""End-to-end golden tests: fold() output vs the reference binary corpus.
+
+The full corpus (tests/golden/corpus.json) spans n up to 60; CPU fills
+recompile per length, so the default run checks a bounded subset.  Set
+CCJ_GOLDEN_ALL=1 to sweep every entry (slow).
+"""
+
+import json
+import os
+
+import pytest
+
+from ccj_tpu import fold
+
+from oracle_util import REPO
+
+CORPUS = json.loads((REPO / "tests" / "golden" / "corpus.json").read_text())
+
+
+def _args_to_kwargs(args):
+    kw = {}
+    it = iter(args)
+    for a in it:
+        if a == "-d":
+            kw["dangles"] = int(next(it))
+        elif a == "-P":
+            kw["param_file"] = str(REPO / next(it))
+        elif a == "--noGU":
+            kw["no_gu"] = True
+        elif a == "--noConv":
+            kw["no_conv"] = True
+    return kw
+
+
+def _select():
+    if os.environ.get("CCJ_GOLDEN_ALL"):
+        return CORPUS
+    picked = []
+    seen_lens = {}
+    for e in CORPUS:
+        n = len(e["seq"])
+        if n > 25:
+            continue
+        key = (n, tuple(e["args"]))
+        if key in seen_lens:
+            continue
+        seen_lens[key] = True
+        picked.append(e)
+    # cap: variety across dangle/param/noGU configs at small n
+    return picked[:12]
+
+
+@pytest.mark.parametrize(
+    "entry", _select(), ids=lambda e: f"n{len(e['seq'])}-{'_'.join(e['args']) or 'default'}"
+)
+def test_golden(entry):
+    res = fold(entry["seq"], **_args_to_kwargs(entry["args"]))
+    assert res.structure == entry["structure"], (
+        f"{entry['seq']} {entry['args']}: {res.structure} != {entry['structure']}"
+    )
+    assert abs(res.energy - entry["energy"]) < 1e-9
