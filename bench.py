@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Benchmark: 4-D DP cell-update throughput of the device fill vs reference.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline compares against the reference C++ single-core fold wall time at
+the same n (BASELINE.md measured table); >1.0 means faster than the
+reference.
+"""
+
+import json
+import random
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# reference single-core wall times (BASELINE.md, measured)
+REF_SECONDS = {30: 0.037, 60: 1.43, 100: 28.7, 150: 316.6, 200: 1467.2}
+
+
+def cells4d(n):
+    return 22 * n * (n + 1) * (n + 2) * (n + 3) // 24
+
+
+def run(n, repeats=2):
+    import numpy as np
+
+    from ccj_tpu.engine.fold import build_consts, fill
+    from ccj_tpu.params import DEFAULT_PK, parse_par, scale_parameters
+
+    rng = random.Random(42)
+    seq = "".join(rng.choice("ACGU") for _ in range(n))
+    sp = scale_parameters(
+        parse_par(Path(__file__).parent / "params" / "rna_DirksPierce09.par")
+    )
+    from ccj_tpu.precompute import build_seq_tables
+
+    tabs = build_seq_tables(seq, sp, DEFAULT_PK)
+    C = build_consts(tabs, sp, DEFAULT_PK)
+
+    import jax
+
+    st = fill(C, n, 2)  # compile + warm up
+    jax.block_until_ready(st)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        st = fill(C, n, 2)
+        jax.block_until_ready(st)
+        best = min(best, time.time() - t0)
+    # correctness spot check: V of the last fill is finite where expected
+    v = np.asarray(st["V"][1, n])
+    assert v < 10_000_001
+    return best
+
+
+def main():
+    for n in (100, 60, 30):
+        try:
+            secs = run(n)
+        except Exception as exc:  # noqa: BLE001 — fall back to a smaller size
+            print(f"bench n={n} failed: {exc}", file=sys.stderr)
+            continue
+        rate = cells4d(n) / secs
+        ref_rate = cells4d(n) / REF_SECONDS[n]
+        print(
+            json.dumps(
+                {
+                    "metric": f"4D DP cell-updates/s/chip (n={n} MFE fill)",
+                    "value": round(rate, 1),
+                    "unit": "cells/s",
+                    "vs_baseline": round(rate / ref_rate, 3),
+                }
+            )
+        )
+        return 0
+    print(json.dumps({"metric": "fill failed", "value": 0, "unit": "cells/s",
+                      "vs_baseline": 0.0}))
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
