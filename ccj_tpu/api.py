@@ -74,3 +74,82 @@ def fold(
     return FoldResult(
         seq=seq, structure=structure, energy=e_dcal / 100.0, energy_dcal=e_dcal
     )
+
+
+@dataclasses.dataclass
+class PFResult:
+    seq: str
+    ensemble_energy: float     # -kT ln Z, kcal/mol
+    Z: float
+    pair_probs: "object"       # sampled base-pair probability estimates
+    num_samples: int
+
+
+def partition(
+    seq: str,
+    dangles: int = 2,
+    param_file: str | None = None,
+    no_gu: bool = False,
+    no_conv: bool = False,
+    pk: PKPenalties = DEFAULT_PK,
+    temperature: float = 37.0,
+    num_samples: int = 1000,
+    seed: int = 0,
+    ps_path: str | None = None,
+) -> PFResult:
+    """Partition function + Boltzmann sampling (+ optional PS dot plot).
+
+    Implements the capability the reference ships disabled
+    (reference: src/CCJ.cc:51-56, src/part_func.cc, src/stoch_backtrack.cc)
+    with corrected recurrences and a completed pseudoknot sampler; see
+    engine/pf.py for the documented divergences.
+    """
+    from .engine.pf import ensemble_energy, pf_fill
+    from .engine.sample import sample_structures, write_dot_plot
+
+    seq = seq.upper()
+    if not no_conv:
+        seq = seq_to_rna(seq)
+    validate_sequence(seq)
+    dna = no_conv and "T" in seq
+    if dna:
+        no_gu = True
+    tables = _load_tables(param_file, dna and param_file is None)
+    sp = scale_parameters(tables, temperature=temperature, dangles=dangles)
+    tabs = build_seq_tables(seq, sp, pk, no_gu=no_gu)
+    res = pf_fill(tabs, sp, pk)
+    counts, _ = sample_structures(tabs, sp, pk, res, num_samples=num_samples,
+                                  seed=seed)
+    import numpy as _np
+
+    probs = counts.astype(_np.float64) / max(num_samples, 1)
+    if ps_path:
+        mfe = fold(seq, dangles=dangles, param_file=param_file, no_gu=no_gu,
+                   no_conv=no_conv, pk=pk, temperature=temperature)
+        mfe_pairs = _pairs_from_structure(mfe.structure)
+        write_dot_plot(ps_path, seq, counts, num_samples, mfe_pairs)
+    n = tabs.n
+    return PFResult(
+        seq=seq,
+        ensemble_energy=ensemble_energy(res),
+        Z=float(res["W"][n]),
+        pair_probs=probs,
+        num_samples=num_samples,
+    )
+
+
+def _pairs_from_structure(structure: str):
+    import numpy as _np
+
+    openers = {"(": ")", "[": "]", "{": "}", "<": ">"}
+    closers = {v: k for k, v in openers.items()}
+    stacks = {o: [] for o in openers}
+    pairs = _np.full(len(structure) + 2, -1, dtype=_np.int64)
+    for idx, ch in enumerate(structure, start=1):
+        if ch in openers:
+            stacks[ch].append(idx)
+        elif ch in closers:
+            a = stacks[closers[ch]].pop()
+            pairs[a] = idx
+            pairs[idx] = a
+    return pairs

@@ -36,6 +36,14 @@ def main(argv=None) -> int:
                     help="do not convert DNA (T) to RNA (U); uses DNA parameters")
     ap.add_argument("--noGU", action="store_true",
                     help="disallow G-U / U-G pairs")
+    ap.add_argument("--pf", action="store_true",
+                    help="also compute the partition function + Boltzmann "
+                         "samples (the capability the reference ships "
+                         "disabled)")
+    ap.add_argument("--samples", type=int, default=1000,
+                    help="number of Boltzmann samples with --pf")
+    ap.add_argument("--PSplot", metavar="FILE", default=None,
+                    help="write a PS base-pair-probability dot plot (with --pf)")
     args = ap.parse_args(argv)
 
     seq = args.sequence
@@ -60,6 +68,20 @@ def main(argv=None) -> int:
 
     print(res.seq)
     print(f"{res.structure} ({_format_energy(res.energy)})")
+
+    if args.pf:
+        from .api import partition
+
+        pf = partition(
+            seq,
+            dangles=args.dangles,
+            param_file=args.paramFile,
+            no_gu=args.noGU,
+            no_conv=args.noConv,
+            num_samples=args.samples,
+            ps_path=args.PSplot,
+        )
+        print(f"free energy of ensemble = {pf.ensemble_energy:.2f} kcal/mol")
     return 0
 
 
