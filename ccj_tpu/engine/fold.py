@@ -88,8 +88,37 @@ def fill(C, n: int, dangles: int):
     return jax.lax.fori_loop(0, n, span_body, st)
 
 
-def run_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties):
+@functools.partial(jax.jit, static_argnames=("n", "dangles"))
+def fill2(C, SC, n: int, dangles: int):
+    """Optimized fill: slab-reduction gapped step (engine/gapped2.py)."""
+    from .gapped2 import gapped_step2, init_aux_state
+
+    C = {**C, "n": n}
+    st = init_state(n)
+    st.update(init_aux_state(n))
+
+    def span_body(s, st):
+        st = compute_V_span(C, st, s, dangles)
+        st = compute_P_WBP_WPP_span(C, st, s)
+
+        def t_body(m, st4):
+            return gapped_step2(C, SC, st4, s, s - 2 - m)
+
+        st = jax.lax.fori_loop(0, jnp.maximum(s - 1, 0), t_body, st)
+        st = compute_WMv_WMp_WM_span(C, st, s, dangles)
+        return st
+
+    return jax.lax.fori_loop(0, n, span_body, st)
+
+
+def run_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties, version: int = 1):
     """Run the device fill and return all matrices as host numpy arrays."""
     C = build_consts(tabs, P, pk)
-    st = fill(C, tabs.n, P.dangles)
+    if version == 2:
+        from .gapped2 import build_stencil_consts
+
+        SC = build_stencil_consts({**C, "n": tabs.n})
+        st = fill2(C, SC, tabs.n, P.dangles)
+    else:
+        st = fill(C, tabs.n, P.dangles)
     return {k: np.asarray(v) for k, v in st.items()}
