@@ -24,7 +24,8 @@ def mine_to_dense4(M, n):
     return out
 
 
-def run_mine(seq, dangles=2, par="params/rna_DirksPierce09.par", no_gu=False):
+def run_mine(seq, dangles=2, par="params/rna_DirksPierce09.par", no_gu=False,
+             version=1):
     if par == "DNA":
         tables = dna_mathews2004_tables()
     elif par == "DEFAULT":
@@ -33,7 +34,7 @@ def run_mine(seq, dangles=2, par="params/rna_DirksPierce09.par", no_gu=False):
         tables = parse_par(REPO / par)
     sp = scale_parameters(tables, dangles=dangles)
     tabs = build_seq_tables(seq, sp, DEFAULT_PK, no_gu=no_gu)
-    return run_fill(tabs, sp, DEFAULT_PK)
+    return run_fill(tabs, sp, DEFAULT_PK, version=version)
 
 
 CASES = [
@@ -45,11 +46,12 @@ CASES = [
 ]
 
 
+@pytest.mark.parametrize("version", [1, 2])
 @pytest.mark.parametrize("seq,dangles,par,nogu", CASES)
-def test_fill_matches_reference(seq, dangles, par, nogu):
+def test_fill_matches_reference(seq, dangles, par, nogu, version):
     n = len(seq)
     dump = run_oracle(seq, dangles, par, nogu)
-    mats = run_mine(seq, dangles, par, bool(nogu))
+    mats = run_mine(seq, dangles, par, bool(nogu), version=version)
 
     ri, rj = np.triu_indices(n + 1, k=1)
     keep = ri >= 1
