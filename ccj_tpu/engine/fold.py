@@ -111,14 +111,36 @@ def fill2(C, SC, n: int, dangles: int):
     return jax.lax.fori_loop(0, n, span_body, st)
 
 
-def run_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties, version: int = 1):
+@functools.partial(jax.jit, static_argnames=("n", "dangles"))
+def fill3(C, SC, n: int, dangles: int):
+    """Span-slab fill (engine/gapped3.py): big state written once per span."""
+    from .gapped import compute_WBP_WPP_span
+    from .gapped3 import compute_P_span3, init_big_state3, span_fill3
+
+    C = {**C, "n": n}
+    st = init_state(n)
+    st.update(init_big_state3(n))
+
+    def span_body(s, st):
+        st = compute_V_span(C, st, s, dangles)
+        st = compute_P_span3(C, st, s)
+        st = compute_WBP_WPP_span(C, st, s)
+        st = span_fill3(C, SC, st, s)
+        st = compute_WMv_WMp_WM_span(C, st, s, dangles)
+        return st
+
+    return jax.lax.fori_loop(0, n, span_body, st)
+
+
+def run_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties, version: int = 3):
     """Run the device fill and return all matrices as host numpy arrays."""
     C = build_consts(tabs, P, pk)
-    if version == 2:
+    if version in (2, 3):
         from .gapped2 import build_stencil_consts
 
         SC = build_stencil_consts({**C, "n": tabs.n})
-        st = fill2(C, SC, tabs.n, P.dangles)
+        fn = fill3 if version == 3 else fill2
+        st = fn(C, SC, tabs.n, P.dangles)
     else:
         st = fill(C, tabs.n, P.dangles)
     return {k: np.asarray(v) for k, v in st.items()}

@@ -99,10 +99,32 @@ def compute_P_WBP_WPP_span(C, st, s):
     p_min = jax.lax.fori_loop(
         0, nchunks, chunk_body, jnp.full((n2,), INF, dtype=jnp.int32)
     )
+    st = _set_P_diag(st, n, s, p_min)
+    return compute_WBP_WPP_span(C, st, s)
+
+
+def _set_P_diag(st, n, s, p_min):
+    """Write the span-s diagonal of P from the candidate minima p_min[i]."""
+    n2 = n + 2
+    ii = jnp.arange(n2)
+    ll = ii + s
+    llc = jnp.clip(ll, 0, n2 - 1)
+    row_valid = (ii >= 1) & (ll <= n)
     P2 = st["P2"]
     newP = jnp.where(p_min < INF // 2, p_min, P2[ii, llc])
     P2 = P2.at[ii, llc].set(jnp.where(row_valid, newP, P2[ii, llc]))
-    st = {**st, "P2": P2}
+    return {**st, "P2": P2}
+
+
+def compute_WBP_WPP_span(C, st, s):
+    """compute_WBP / compute_WPP for all blocks (i, l=i+s)
+    (pseudo_loop.cc:134-164); P(.,.) of this span must be written already."""
+    n = C["n"]
+    n2 = n + 2
+    ii = jnp.arange(n2)
+    ll = ii + s
+    llc = jnp.clip(ll, 0, n2 - 1)
+    row_valid = (ii >= 1) & (ll <= n)
 
     # ---- WBP / WPP (pseudo_loop.cc:134-164) ------------------------------
     WB, WP, WBPg, WPPg = _wx_tables(C, st)
