@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..engine.fold import build_consts, init_state
+from ..engine.fold import build_consts, init_state, prune_consts
 from ..engine.gapped import M4_NAMES, compute_P_WBP_WPP_span, gapped_step
 from ..engine.nested import compute_V_span, compute_WMv_WMp_WM_span
 from ..params.pk import PKPenalties
@@ -65,10 +65,20 @@ def stack_consts(seqs, P_: ScaledParams, pk: PKPenalties, no_gu=False, pad_to=No
     return out, n_pad
 
 
-@functools.partial(jax.jit, static_argnames=("n", "dangles", "mesh", "wave_shard"))
 def batched_fill(Cb, n: int, dangles: int, mesh: Mesh | None = None,
                  wave_shard: bool = False):
-    """vmap the fill over the batch; optionally shard over the mesh."""
+    """vmap the fill over the batch; optionally shard over the mesh.
+
+    Thin un-jitted wrapper that prunes const entries the fill never reads
+    (see engine/fold.prune_consts) before entering the jitted body.
+    """
+    return _batched_fill(prune_consts(Cb, dangles, 1), n, dangles,
+                         mesh=mesh, wave_shard=wave_shard)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "dangles", "mesh", "wave_shard"))
+def _batched_fill(Cb, n: int, dangles: int, mesh: Mesh | None = None,
+                  wave_shard: bool = False):
     axes = ({k: (None if jnp.ndim(v) == 0 else 0) for k, v in Cb.items()},)
     out = jax.vmap(lambda C: _fill_impl(C, n, dangles), in_axes=axes)(Cb)
     if mesh is not None:

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 INF = 10_000_000
 TRI_UNSET = INF + 1
@@ -24,7 +25,7 @@ SAT16 = 32767
 TURN = 3
 MAXLOOP = 30
 # sentinel for masked-out reduction lanes (never feeds further arithmetic)
-BIG = jnp.int32(1 << 30)
+BIG = np.int32(1 << 30)  # numpy, not jnp: see INT16_SAT note in gapped3.py
 
 
 def read4(M, n, tt, ss, ii, jj):

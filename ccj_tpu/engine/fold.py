@@ -44,18 +44,50 @@ def build_consts(tabs: SeqTables, P: ScaledParams, pk: PKPenalties):
     for name in ("ML0", "ML2", "ML_ip1", "ML_jm1", "ML_both",
                  "MB0", "MB2", "MB_5", "MB_3", "MB_53"):
         C[name] = jnp.asarray(getattr(tabs, name))
-    return C
+    # Commit every leaf (scalars included) as a device array.  JAX 0.9's
+    # pjit C++ fastpath miscounts argument buffers on re-execution when a
+    # cached executable is re-invoked with uncommitted numpy/int leaves
+    # ("Execution supplied N buffers but compiled program expected M");
+    # committed inputs take the correct path and also avoid re-uploading
+    # the tables on every call.
+    return {k: (v if k == "n" else jax.device_put(v)) for k, v in C.items()}
+
+
+# Per-dangle-model lookup tables actually read by the fill (engine/nested.py);
+# the others must be pruned from the jitted call's arguments: JAX 0.9's
+# argument-DCE records a kept_var_idx that can disagree with the lowered
+# HLO's parameter list when unused array args are present, so re-executing
+# the cached executable fails with "Execution supplied N buffers but
+# compiled program expected M".  With every passed leaf used, the two
+# bookkeeping paths agree.
+_DANGLE_KEYS = {
+    0: ("ML0", "MB0"),
+    1: ("ML0", "ML_ip1", "ML_jm1", "ML_both", "MB0", "MB_5", "MB_3", "MB_53"),
+    2: ("ML2", "MB2"),
+}
+_ALL_DANGLE_KEYS = frozenset(k for v in _DANGLE_KEYS.values() for k in v)
+
+
+def prune_consts(C, dangles: int, version: int = 3):
+    """Drop const-dict entries the (version, dangles) fill never reads."""
+    drop = _ALL_DANGLE_KEYS - set(_DANGLE_KEYS[dangles])
+    if version in (2, 3):
+        drop = drop | {"EINTP"}  # baked into the stencil consts host-side
+    return {k: v for k, v in C.items() if k not in drop}
 
 
 def init_state(n: int):
     n2 = n + 2
     T = max(n - 1, 1)
     S = max(n, 1)
-    ii = np.arange(n2)[:, None]
-    jj = np.arange(n2)[None, :]
+    # jnp (not numpy) so the init lowers as ops rather than a captured
+    # constant: trace-time numpy constants become extra executable
+    # parameters under JAX 0.9 (see the config note in ccj_tpu/__init__.py)
+    ii = jnp.arange(n2)[:, None]
+    jj = jnp.arange(n2)[None, :]
     st = {
         # V getter semantics baked in: INF on i>=j, nodes default elsewhere
-        "V": jnp.asarray(np.where(ii < jj, V_UNSET, INF).astype(np.int32)),
+        "V": jnp.where(ii < jj, V_UNSET, INF).astype(jnp.int32),
         "Vtype": jnp.zeros((n2, n2), dtype=jnp.int8),
         "WM": jnp.full((n2, n2), TRI_UNSET, dtype=jnp.int32),
         "WMv": jnp.full((n2, n2), TRI_UNSET, dtype=jnp.int32),
@@ -140,7 +172,7 @@ def run_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties, version: int = 3
 
         SC = build_stencil_consts({**C, "n": tabs.n})
         fn = fill3 if version == 3 else fill2
-        st = fn(C, SC, tabs.n, P.dangles)
+        st = fn(prune_consts(C, P.dangles, version), SC, tabs.n, P.dangles)
     else:
-        st = fill(C, tabs.n, P.dangles)
+        st = fill(prune_consts(C, P.dangles, 1), tabs.n, P.dangles)
     return {k: np.asarray(v) for k, v in st.items()}

@@ -116,11 +116,13 @@ def build_stencil_consts(C):
     okc = ok & canp[jc, kc]
     DPM = np.where(okc, vals, INF).astype(np.int32)
 
-    return {
+    # device_put: see build_consts — committed inputs dodge a JAX 0.9 pjit
+    # fastpath buffer-count bug on re-execution and skip per-call uploads.
+    return jax.device_put({
         "W_PL_PAD": jnp.asarray(W_PL_PAD),
         "W_PR_PAD": jnp.asarray(W_PR_PAD),
         "DPM": jnp.asarray(DPM),
-    }
+    })
 
 
 def _wk_tables(C, WBt, WPt, WBPg, tt, s):
@@ -382,8 +384,9 @@ def gapped_step2(C, SC, st, s, tt):
     pm_acc = jnp.full((n2, U), INF, dtype=jnp.int32)
     for d2 in range(1, DS + 1):
         sub = slPM[d2 - 1 : d2 - 1 + DS]                # [DS(d1), n2, U]
+        sh = min(d2, U)  # d2 can exceed U for short sequences (U < MAXLOOP)
         subu = jnp.concatenate(
-            [sub[:, :, d2:], jnp.full((DS, n2, d2), INF, jnp.int32)], axis=2
+            [sub[:, :, sh:], jnp.full((DS, n2, sh), INF, jnp.int32)], axis=2
         )                                               # shift u by +d2
         d1v = jnp.arange(1, DS + 1)[:, None, None]
         mask = (d1v <= jv_lu - iv_lu - 1) & (d2 <= (lv - uv - 2) - 1)

@@ -29,12 +29,17 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .common import INF, SAT16, TURN, mmin, pack16
 from .gapped import M4_NAMES, _wx_tables
 from .gapped2 import B_MATS, C_MATS, DS, PADS, PADT, _wk_tables, dims
 
-INT16_SAT = jnp.int16(SAT16)
+# numpy (not jnp) scalar: a module-level jax array is a committed device
+# buffer that tracing captures as a closure constant, which JAX 0.9 can
+# hoist into an extra executable parameter the pjit fastpath then fails to
+# supply on re-execution ("supplied N buffers but expected M").
+INT16_SAT = np.int16(SAT16)
 
 
 def init_big_state3(n):
@@ -85,7 +90,7 @@ def compute_P_span3(C, st, s):
             PKD, (0, s - a - 1, 0, 0), (T, 1, n2, n2)
         )[:, 0]
         sl2 = jnp.concatenate([sl2, sat_rows], axis=1)
-        F2 = jax.lax.dynamic_slice(sl2, (0, a + 1, 0), (T, n2, n2))
+        F2 = jax.lax.dynamic_slice(sl2, (0, a + 1, 0), (T, n2, T))
         F2 = F2.astype(jnp.int32).transpose(2, 0, 1)      # [b-1, c-1, i]
         ok = (
             (a <= s - 2)
@@ -392,8 +397,9 @@ def gapped_step3(C, SC, big, cur, s, tt):
     pm_acc = jnp.full((n2, U), INF, dtype=jnp.int32)
     for d2 in range(1, DS + 1):
         sub = slPM[d2 - 1 : d2 - 1 + DS]                # [DS(d1), n2, U]
+        sh = min(d2, U)  # d2 can exceed U for short sequences (U < MAXLOOP)
         subu = jnp.concatenate(
-            [sub[:, :, d2:], jnp.full((DS, n2, d2), INF, jnp.int32)], axis=2
+            [sub[:, :, sh:], jnp.full((DS, n2, sh), INF, jnp.int32)], axis=2
         )                                               # shift u by +d2
         d1v = jnp.arange(1, DS + 1)[:, None, None]
         mask = (d1v <= jv_lu - iv_lu - 1) & (d2 <= (lv - uv - 2) - 1)

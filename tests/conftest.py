@@ -13,9 +13,12 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: the fill graph recompiles per (n, dangles)
-jax.config.update("jax_compilation_cache_dir", "/tmp/ccj_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: no persistent compilation cache here.  Under JAX 0.9.0 an executable
+# loaded back from the disk cache can disagree with the pjit fastpath about
+# the argument-buffer list ("Execution supplied N buffers but compiled
+# program expected M buffers"); in-memory compilation is unaffected (see
+# ccj_tpu/__init__.py for the related jax_use_simplified_jaxpr_constants
+# workaround).
 
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
