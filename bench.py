@@ -9,6 +9,7 @@ the same n (BASELINE.md measured table); >1.0 means faster than the
 reference.
 """
 
+import gc
 import json
 import random
 import sys
@@ -26,34 +27,35 @@ def cells4d(n):
 
 
 def run(n, repeats=2):
+    import jax
     import numpy as np
 
-    from ccj_tpu.engine.fold import build_consts, fill
+    from ccj_tpu.engine.fold import best_fill
     from ccj_tpu.params import DEFAULT_PK, parse_par, scale_parameters
+    from ccj_tpu.precompute import build_seq_tables
 
     rng = random.Random(42)
     seq = "".join(rng.choice("ACGU") for _ in range(n))
     sp = scale_parameters(
         parse_par(Path(__file__).parent / "params" / "rna_DirksPierce09.par")
     )
-    from ccj_tpu.precompute import build_seq_tables
-
     tabs = build_seq_tables(seq, sp, DEFAULT_PK)
-    C = build_consts(tabs, sp, DEFAULT_PK)
 
-    import jax
-
-    st = fill(C, n, 2)  # compile + warm up
+    fn = best_fill(tabs, sp, DEFAULT_PK)
+    st = fn()  # compile + warm up
     jax.block_until_ready(st)
+    v = int(np.asarray(st["V"][1, n]))
+    assert v < 10_000_001  # finite: the fill produced a real energy
     best = float("inf")
     for _ in range(repeats):
+        # the 4-D state is ~22*n^4/12 bytes; free the previous copy before
+        # launching the next fill or two live copies exhaust HBM at n>=100
+        del st
+        gc.collect()
         t0 = time.time()
-        st = fill(C, n, 2)
+        st = fn()
         jax.block_until_ready(st)
         best = min(best, time.time() - t0)
-    # correctness spot check: V of the last fill is finite where expected
-    v = np.asarray(st["V"][1, n])
-    assert v < 10_000_001
     return best
 
 

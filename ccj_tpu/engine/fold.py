@@ -164,6 +164,24 @@ def fill3(C, SC, n: int, dangles: int):
     return jax.lax.fori_loop(0, n, span_body, st)
 
 
+def best_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties, version: int = 3):
+    """Return a zero-arg callable running the fastest device fill.
+
+    Consts are built once and kept on device; each call re-runs the jitted
+    fill and returns the state dict (device arrays).
+    """
+    C = build_consts(tabs, P, pk)
+    if version in (2, 3):
+        from .gapped2 import build_stencil_consts
+
+        SC = build_stencil_consts({**C, "n": tabs.n})
+        Cp = prune_consts(C, P.dangles, version)
+        fn = fill3 if version == 3 else fill2
+        return lambda: fn(Cp, SC, tabs.n, P.dangles)
+    Cp = prune_consts(C, P.dangles, 1)
+    return lambda: fill(Cp, tabs.n, P.dangles)
+
+
 def run_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties, version: int = 3):
     """Run the device fill and return all matrices as host numpy arrays."""
     C = build_consts(tabs, P, pk)
