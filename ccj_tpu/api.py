@@ -26,7 +26,7 @@ from .params import (
 from .precompute import build_seq_tables
 from .seq import seq_to_rna, validate_sequence
 
-PARAMS_DIR = Path(__file__).resolve().parent.parent / "params"
+PARAMS_DIR = Path(__file__).resolve().parent / "params"
 DEFAULT_PARAM_FILE = PARAMS_DIR / "rna_DirksPierce09.par"
 
 
@@ -55,8 +55,16 @@ def fold(
     no_conv: bool = False,
     pk: PKPenalties = DEFAULT_PK,
     temperature: float = 37.0,
+    bucket: bool = True,
 ) -> FoldResult:
-    """Predict the MFE pseudoknotted secondary structure of one sequence."""
+    """Predict the MFE pseudoknotted secondary structure of one sequence.
+
+    ``bucket`` pads the device fill to a length bucket (dist/batch.BUCKETS)
+    so one compiled executable serves every length in the bucket; the padded
+    tables' true-length window is bit-identical to an unpadded fill (see
+    precompute.pad_seq_tables; asserted by tests/test_batch.py) and the host
+    traceback — which only visits regions inside [1, n] — is exact.
+    """
     seq = seq.upper()
     if not no_conv:
         seq = seq_to_rna(seq)
@@ -68,7 +76,14 @@ def fold(
     tables = _load_tables(param_file, dna and param_file is None)
     sp = scale_parameters(tables, temperature=temperature, dangles=dangles)
     tabs = build_seq_tables(seq, sp, pk, no_gu=no_gu)
-    mats = run_fill(tabs, sp, pk)
+    if bucket:
+        from .dist.batch import bucket_for
+        from .precompute import pad_seq_tables
+
+        tabs_fill = pad_seq_tables(tabs, bucket_for(len(seq)), sp, pk, no_gu=no_gu)
+    else:
+        tabs_fill = tabs
+    mats = run_fill(tabs_fill, sp, pk)
     tb = Traceback(tabs, sp, pk, mats)
     e_dcal, structure = tb.run()
     return FoldResult(

@@ -69,8 +69,14 @@ _ALL_DANGLE_KEYS = frozenset(k for v in _DANGLE_KEYS.values() for k in v)
 
 
 def prune_consts(C, dangles: int, version: int = 3):
-    """Drop const-dict entries the (version, dangles) fill never reads."""
-    drop = _ALL_DANGLE_KEYS - set(_DANGLE_KEYS[dangles])
+    """Drop const-dict entries the (version, dangles) fill never reads.
+
+    Also drops the 'n' int leaf: the jitted fills take n as a static
+    argument and overwrite it, so passing it as a traced arg would leave
+    an unused parameter — exactly the JAX 0.9 argument-DCE hazard the
+    comment above describes.
+    """
+    drop = (_ALL_DANGLE_KEYS - set(_DANGLE_KEYS[dangles])) | {"n"}
     if version in (2, 3):
         drop = drop | {"EINTP"}  # baked into the stencil consts host-side
     return {k: v for k, v in C.items() if k not in drop}
@@ -165,11 +171,13 @@ def fill3(C, SC, n: int, dangles: int):
 
 
 def best_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties, version: int = 3):
-    """Return a zero-arg callable running the fastest device fill.
+    """Return a zero-arg callable running the requested device fill.
 
     Consts are built once and kept on device; each call re-runs the jitted
     fill and returns the state dict (device arrays).
     """
+    if version not in (1, 2, 3):
+        raise ValueError(f"unknown fill version {version!r} (expected 1, 2 or 3)")
     C = build_consts(tabs, P, pk)
     if version in (2, 3):
         from .gapped2 import build_stencil_consts
@@ -184,13 +192,5 @@ def best_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties, version: int = 
 
 def run_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties, version: int = 3):
     """Run the device fill and return all matrices as host numpy arrays."""
-    C = build_consts(tabs, P, pk)
-    if version in (2, 3):
-        from .gapped2 import build_stencil_consts
-
-        SC = build_stencil_consts({**C, "n": tabs.n})
-        fn = fill3 if version == 3 else fill2
-        st = fn(prune_consts(C, P.dangles, version), SC, tabs.n, P.dangles)
-    else:
-        st = fill(prune_consts(C, P.dangles, 1), tabs.n, P.dangles)
+    st = best_fill(tabs, P, pk, version)()
     return {k: np.asarray(v) for k, v in st.items()}

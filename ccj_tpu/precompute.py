@@ -297,3 +297,42 @@ def build_seq_tables(
         MB0=MB0, MB2=MB2, MB_5=MB_5, MB_3=MB_3, MB_53=MB_53,
         EXT0=EXT0, EXT2=EXT2, EXT_ip1=EXT_ip1, EXT_jm1=EXT_jm1, EXT_both=EXT_both,
     )
+
+
+def pad_seq_tables(
+    tabs: SeqTables, n_pad: int, P: ScaledParams, pk, no_gu: bool = False
+) -> SeqTables:
+    """Tables for a fill padded to length n_pad whose [0..n+1]^2 window is
+    bit-identical to the unpadded tables.
+
+    A DP cell over a region [i, l] with l <= n only reads table entries with
+    both sequence coordinates <= n+1, so overlaying the true-sequence tables
+    onto an 'A'-padded build makes every true-window cell of the padded fill
+    bit-identical to the unpadded fill — including the dangle-model boundary
+    entries at j = n (ML2/MB2/EXT2 see the true sequence end instead of a
+    padding base; without the overlay those entries leak the padding base
+    into WM/WMv's last column).  Cells with l > n read padded-build entries
+    and are never consumed (the host traceback stays inside [1, n]).
+    """
+    import dataclasses as _dc
+
+    if n_pad == tabs.n:
+        return tabs
+    if n_pad < tabs.n:
+        raise ValueError(f"n_pad={n_pad} < n={tabs.n}")
+    big = build_seq_tables(tabs.seq + "A" * (n_pad - tabs.n), P, pk, no_gu=no_gu)
+    w = tabs.n + 2
+    out = {}
+    for f in _dc.fields(SeqTables):
+        bv = getattr(big, f.name)
+        if f.name in ("n", "seq", "S"):
+            out[f.name] = bv
+            continue
+        tv = getattr(tabs, f.name)
+        bv = bv.copy()
+        if bv.ndim == 2:
+            bv[:w, :w] = tv
+        else:  # EINT / EINTP: [D, D, n+2, n+2]
+            bv[:, :, :w, :w] = tv
+        out[f.name] = bv
+    return SeqTables(**out)

@@ -60,7 +60,7 @@ class OracleDump:
 
 
 @lru_cache(maxsize=32)
-def run_oracle(seq: str, dangles: int = 2, param: str = "params/rna_DirksPierce09.par",
+def run_oracle(seq: str, dangles: int = 2, param: str = "ccj_tpu/params/rna_DirksPierce09.par",
                no_gu: int = 0) -> OracleDump:
     prefix = REPO / "tests" / "golden" / f"matdump_{abs(hash((seq, dangles, param, no_gu)))}"
     out = subprocess.run(

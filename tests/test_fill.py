@@ -24,7 +24,7 @@ def mine_to_dense4(M, n):
     return out
 
 
-def run_mine(seq, dangles=2, par="params/rna_DirksPierce09.par", no_gu=False,
+def run_mine(seq, dangles=2, par="ccj_tpu/params/rna_DirksPierce09.par", no_gu=False,
              version=1):
     if par == "DNA":
         tables = dna_mathews2004_tables()
@@ -38,11 +38,11 @@ def run_mine(seq, dangles=2, par="params/rna_DirksPierce09.par", no_gu=False,
 
 
 CASES = [
-    ("GCGCUUCGCCGCGCCA", 2, "params/rna_DirksPierce09.par", 0),
-    ("GGGAAACGGGCGAUCC", 2, "params/rna_Turner04.par", 0),
-    ("GGGAAACGGGCGAUCC", 0, "params/rna_DirksPierce09.par", 0),
-    ("GGGAAACGGGCGAUCC", 1, "params/rna_DirksPierce09.par", 0),
-    ("GGGAAACGGGCGAUCC", 2, "params/rna_DirksPierce09.par", 1),
+    ("GCGCUUCGCCGCGCCA", 2, "ccj_tpu/params/rna_DirksPierce09.par", 0),
+    ("GGGAAACGGGCGAUCC", 2, "ccj_tpu/params/rna_Turner04.par", 0),
+    ("GGGAAACGGGCGAUCC", 0, "ccj_tpu/params/rna_DirksPierce09.par", 0),
+    ("GGGAAACGGGCGAUCC", 1, "ccj_tpu/params/rna_DirksPierce09.par", 0),
+    ("GGGAAACGGGCGAUCC", 2, "ccj_tpu/params/rna_DirksPierce09.par", 1),
 ]
 
 

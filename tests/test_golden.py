@@ -24,7 +24,9 @@ def _args_to_kwargs(args):
         if a == "-d":
             kw["dangles"] = int(next(it))
         elif a == "-P":
-            kw["param_file"] = str(REPO / next(it))
+            # corpus entries predate the move of .par files into the package
+            p = next(it).replace("params/", "ccj_tpu/params/", 1)
+            kw["param_file"] = str(REPO / p)
         elif a == "--noGU":
             kw["no_gu"] = True
         elif a == "--noConv":
@@ -46,8 +48,15 @@ def _select():
             continue
         seen_lens[key] = True
         picked.append(e)
-    # cap: variety across dangle/param/noGU configs at small n
-    return picked[:12]
+    # cap: variety across dangle/param/noGU configs at small n ...
+    picked = picked[:12]
+    # ... plus the deep-pseudoknot anchors: every default-args entry at
+    # n >= 35 (includes the n=37 crossing-band anchor and the n=60 true
+    # pseudoknot — VERDICT r2 weak #3)
+    for e in CORPUS:
+        if len(e["seq"]) >= 35 and not e["args"]:
+            picked.append(e)
+    return picked
 
 
 @pytest.mark.parametrize(

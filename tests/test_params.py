@@ -16,12 +16,12 @@ from ccj_tpu.seq import encode, ptype_table
 from oracle_util import REPO, run_oracle
 
 PAR_FILES = [
-    "params/rna_DirksPierce09.par",
-    "params/rna_Turner04.par",
-    "params/rna_DirksPierce03.par",
-    "params/rna_CaoChen06.par",
-    "params/rna_CaoChen09.par",
-    "params/dna_Matthews04.par",
+    "ccj_tpu/params/rna_DirksPierce09.par",
+    "ccj_tpu/params/rna_Turner04.par",
+    "ccj_tpu/params/rna_DirksPierce03.par",
+    "ccj_tpu/params/rna_CaoChen06.par",
+    "ccj_tpu/params/rna_CaoChen09.par",
+    "ccj_tpu/params/dna_Matthews04.par",
 ]
 
 ARRAY_FIELDS = {
@@ -85,7 +85,7 @@ def test_dna_tables_match_reference():
 
 def test_encoding_and_pair_matrix():
     seq = "GGGAAACGGGCGAUCCUUCCCGAAAGGGAUCGGGUUU"
-    dump = run_oracle(seq, 2, "params/rna_DirksPierce09.par", 0)
+    dump = run_oracle(seq, 2, "ccj_tpu/params/rna_DirksPierce09.par", 0)
     S = encode(seq)
     np.testing.assert_array_equal(S, dump["S"])
     # S1 (alias) encoding matches for the standard alphabet (indices 1..n+1)

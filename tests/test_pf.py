@@ -13,7 +13,7 @@ from ccj_tpu.precompute import build_seq_tables
 from oracle_util import REPO
 
 SEQS = ["GCGCAAUUGCGC", "GGCGCUUGCGCC", "ACGUACGUACGUAC"]
-PAR = str(REPO / "params" / "rna_DirksPierce09.par")
+PAR = str(REPO / "ccj_tpu" / "params" / "rna_DirksPierce09.par")
 
 
 def _setup(seq):

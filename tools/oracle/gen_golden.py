@@ -59,10 +59,10 @@ def main():
         cases.append((seq, ("-d", "0")))
         cases.append((seq, ("-d", "1")))
         cases.append((seq, ("--noGU",)))
-        cases.append((seq, ("-P", "params/rna_Turner04.par")))
+        cases.append((seq, ("-P", "ccj_tpu/params/rna_Turner04.par")))
     for seq in seqs[:4]:
-        cases.append((seq, ("-P", "params/rna_CaoChen09.par")))
-        cases.append((seq, ("-P", "params/rna_DirksPierce03.par")))
+        cases.append((seq, ("-P", "ccj_tpu/params/rna_CaoChen09.par")))
+        cases.append((seq, ("-P", "ccj_tpu/params/rna_DirksPierce03.par")))
     # DNA path: T-containing sequence without conversion
     dna = curated[0].replace("U", "T")
     cases.append((dna, ("--noConv",)))
