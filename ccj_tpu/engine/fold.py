@@ -77,7 +77,7 @@ def prune_consts(C, dangles: int, version: int = 3):
     comment above describes.
     """
     drop = (_ALL_DANGLE_KEYS - set(_DANGLE_KEYS[dangles])) | {"n"}
-    if version in (2, 3):
+    if version in (2, 3, 4):
         drop = drop | {"EINTP"}  # baked into the stencil consts host-side
     return {k: v for k, v in C.items() if k not in drop}
 
@@ -170,15 +170,61 @@ def fill3(C, SC, n: int, dangles: int):
     return jax.lax.fori_loop(0, n, span_body, st)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "dangles", "TB", "IB"),
+    donate_argnames=("st",),
+)
+def span_step4(C, SC4, st, s, n: int, dangles: int, TB: int, IB: int):
+    """One whole span of the v4 fill (engine/gapped4.py), compiled per
+    (length, dangle model, bucket) and re-used across spans of the bucket."""
+    from .gapped import compute_WBP_WPP_span
+    from .gapped3 import compute_P_span3
+    from .gapped4 import span_gapped4
+
+    C = {**C, "n": n}
+    st = compute_V_span(C, st, s, dangles)
+    st = compute_P_span3(C, st, s)
+    st = compute_WBP_WPP_span(C, st, s)
+    st = span_gapped4(C, SC4, st, s, TB, IB)
+    return compute_WMv_WMp_WM_span(C, st, s, dangles)
+
+
+def fill4(Cp, SC4, n: int, dangles: int):
+    """Host-driven span loop over bucketed jitted steps (fill v4).
+
+    The big state is donated through every step, so it stays in place on
+    the device; only a handful of executables (one per span bucket) are
+    compiled.  Returns the state dict of device arrays, same keys/layouts
+    as fill3 apart from the retired ST_PL / ST_PR shadows.
+    """
+    from .gapped4 import bucket_dims, init_big_state4
+
+    st = init_state(n)
+    st.update(init_big_state4(n))
+    st = {k: jax.device_put(v) for k, v in st.items()}
+    for s in range(n):
+        TB, IB = bucket_dims(n, s)
+        st = span_step4(Cp, SC4, st, s, n=n, dangles=dangles, TB=TB, IB=IB)
+    return st
+
+
 def best_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties, version: int = 3):
     """Return a zero-arg callable running the requested device fill.
 
     Consts are built once and kept on device; each call re-runs the jitted
     fill and returns the state dict (device arrays).
     """
-    if version not in (1, 2, 3):
-        raise ValueError(f"unknown fill version {version!r} (expected 1, 2 or 3)")
+    if version not in (1, 2, 3, 4):
+        raise ValueError(
+            f"unknown fill version {version!r} (expected 1, 2, 3 or 4)")
     C = build_consts(tabs, P, pk)
+    if version == 4:
+        from .gapped4 import build_sc4
+
+        SC4 = build_sc4(tabs)
+        Cp = prune_consts(C, P.dangles, version)
+        return lambda: fill4(Cp, SC4, tabs.n, P.dangles)
     if version in (2, 3):
         from .gapped2 import build_stencil_consts
 

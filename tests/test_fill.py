@@ -46,7 +46,7 @@ CASES = [
 ]
 
 
-@pytest.mark.parametrize("version", [1, 2, 3])
+@pytest.mark.parametrize("version", [1, 2, 3, 4])
 @pytest.mark.parametrize("seq,dangles,par,nogu", CASES)
 def test_fill_matches_reference(seq, dangles, par, nogu, version):
     n = len(seq)
