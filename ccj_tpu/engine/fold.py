@@ -77,7 +77,7 @@ def prune_consts(C, dangles: int, version: int = 3):
     comment above describes.
     """
     drop = (_ALL_DANGLE_KEYS - set(_DANGLE_KEYS[dangles])) | {"n"}
-    if version in (2, 3, 4):
+    if version in (2, 3, 4, 5):
         drop = drop | {"EINTP"}  # baked into the stencil consts host-side
     return {k: v for k, v in C.items() if k not in drop}
 
@@ -175,9 +175,40 @@ def fill3(C, SC, n: int, dangles: int):
     static_argnames=("n", "dangles", "TB", "IB"),
     donate_argnames=("st",),
 )
+def span_segment4(C, SC4, st, s_lo, s_hi, n: int, dangles: int,
+                  TB: int, IB: int):
+    """Fill spans [s_lo, s_hi) of the v4 engine in one executable, compiled
+    per (length, dangle model, bucket) with straight-line in-place state
+    updates (no lax.switch: a branch around the carried state makes XLA
+    copy the whole O(n^4) dict every span — measured 7s instead of ~0.3s
+    for n=100)."""
+    from .gapped import compute_WBP_WPP_span
+    from .gapped3 import compute_P_span3
+    from .gapped4 import span_gapped4
+
+    C = {**C, "n": n}
+
+    def body(s, st):
+        st = compute_V_span(C, st, s, dangles)
+        st = compute_P_span3(C, st, s)
+        st = compute_WBP_WPP_span(C, st, s)
+        st = span_gapped4(C, SC4, st, s, TB, IB)
+        return compute_WMv_WMp_WM_span(C, st, s, dangles)
+
+    return jax.lax.fori_loop(s_lo, s_hi, body, st)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "dangles", "TB", "IB"),
+    donate_argnames=("st",),
+)
 def span_step4(C, SC4, st, s, n: int, dangles: int, TB: int, IB: int):
-    """One whole span of the v4 fill (engine/gapped4.py), compiled per
-    (length, dangle model, bucket) and re-used across spans of the bucket."""
+    """One whole span of the v4 fill, compiled per (length, dangles,
+    bucket).  Kept as straight-line code (no fori over spans): the axon
+    backend's remote compiler handles these graphs in ~10s each, while the
+    fori-wrapped multi-span segment variant (span_segment4) has been seen
+    to take minutes to compile there."""
     from .gapped import compute_WBP_WPP_span
     from .gapped3 import compute_P_span3
     from .gapped4 import span_gapped4
@@ -190,13 +221,31 @@ def span_step4(C, SC4, st, s, n: int, dangles: int, TB: int, IB: int):
     return compute_WMv_WMp_WM_span(C, st, s, dangles)
 
 
-def fill4(Cp, SC4, n: int, dangles: int):
-    """Host-driven span loop over bucketed jitted steps (fill v4).
+def bucket_segments(n: int):
+    """Consecutive span ranges sharing one (TB, IB) bucket."""
+    from .gapped4 import bucket_dims
 
-    The big state is donated through every step, so it stays in place on
-    the device; only a handful of executables (one per span bucket) are
-    compiled.  Returns the state dict of device arrays, same keys/layouts
-    as fill3 apart from the retired ST_PL / ST_PR shadows.
+    segs = []
+    for s in range(n):
+        b = bucket_dims(n, s)
+        if segs and segs[-1][0] == b:
+            segs[-1] = (b, segs[-1][1], s + 1)
+        else:
+            segs.append((b, s, s + 1))
+    return segs
+
+
+def fill4(Cp, SC4, n: int, dangles: int, wave: int = 1):
+    """Host-driven v4 fill: per-span jitted steps, executed in lockstep.
+
+    The big state is donated step to step, so it stays in place on the
+    device; one executable per span bucket is compiled.  ``wave`` throttles
+    outstanding dispatches; the default 1 (block after every span) is
+    load-bearing: any deeper async queue of donated calls costs ~60ms per
+    step on the axon backend (measured n=100: wave=1 0.04s, wave=2 6.8s,
+    wave=100 5.5s), while lockstep runs at device speed.  Returns the state
+    dict of device arrays, same keys/layouts as fill3 apart from the
+    retired ST_PL/ST_PR shadows.
     """
     from .gapped4 import bucket_dims, init_big_state4
 
@@ -206,24 +255,70 @@ def fill4(Cp, SC4, n: int, dangles: int):
     for s in range(n):
         TB, IB = bucket_dims(n, s)
         st = span_step4(Cp, SC4, st, s, n=n, dangles=dangles, TB=TB, IB=IB)
+        if s % wave == wave - 1:
+            st["V"].block_until_ready()
     return st
 
 
-def best_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties, version: int = 3):
+@functools.partial(jax.jit, static_argnames=("n", "dangles"))
+def fill5(C, SC4, n: int, dangles: int):
+    """Single-dispatch v4 engine: the span loop and its bucket dispatch run
+    on device (fori_loop + lax.switch over the static bucket set).
+
+    Same computation as fill4, but one executable and one host round trip:
+    the host-driven loop's per-span synchronization is at the mercy of the
+    accelerator-tunnel latency (measured anywhere from 1 ms to 100 ms per
+    round trip on the axon backend), which dominated the ~1 ms/span device
+    time.
+    """
+    from .gapped import compute_WBP_WPP_span
+    from .gapped3 import compute_P_span3
+    from .gapped4 import bucket_dims, init_big_state4, span_gapped4
+
+    C = {**C, "n": n}
+    st = init_state(n)
+    st.update(init_big_state4(n))
+
+    buckets = []
+    idx_for_s = []
+    for s in range(max(n, 1)):
+        b = bucket_dims(n, s)
+        if b not in buckets:
+            buckets.append(b)
+        idx_for_s.append(buckets.index(b))
+    idx_arr = jnp.asarray(np.asarray(idx_for_s, dtype=np.int32))
+
+    def span_body(s, st):
+        st = compute_V_span(C, st, s, dangles)
+        st = compute_P_span3(C, st, s)
+        st = compute_WBP_WPP_span(C, st, s)
+        branches = [
+            (lambda st_, TB=TB, IB=IB: span_gapped4(C, SC4, st_, s, TB, IB))
+            for TB, IB in buckets
+        ]
+        st = jax.lax.switch(idx_arr[s], branches, st)
+        return compute_WMv_WMp_WM_span(C, st, s, dangles)
+
+    return jax.lax.fori_loop(0, n, span_body, st)
+
+
+def best_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties, version: int = 4):
     """Return a zero-arg callable running the requested device fill.
 
     Consts are built once and kept on device; each call re-runs the jitted
     fill and returns the state dict (device arrays).
     """
-    if version not in (1, 2, 3, 4):
+    if version not in (1, 2, 3, 4, 5):
         raise ValueError(
-            f"unknown fill version {version!r} (expected 1, 2, 3 or 4)")
+            f"unknown fill version {version!r} (expected 1..5)")
     C = build_consts(tabs, P, pk)
-    if version == 4:
+    if version in (4, 5):
         from .gapped4 import build_sc4
 
         SC4 = build_sc4(tabs)
         Cp = prune_consts(C, P.dangles, version)
+        if version == 5:
+            return lambda: fill5(Cp, SC4, tabs.n, P.dangles)
         return lambda: fill4(Cp, SC4, tabs.n, P.dangles)
     if version in (2, 3):
         from .gapped2 import build_stencil_consts
@@ -236,7 +331,7 @@ def best_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties, version: int = 
     return lambda: fill(Cp, tabs.n, P.dangles)
 
 
-def run_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties, version: int = 3):
+def run_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties, version: int = 4):
     """Run the device fill and return all matrices as host numpy arrays."""
     st = best_fill(tabs, P, pk, version)()
     return {k: np.asarray(v) for k, v in st.items()}
