@@ -26,6 +26,25 @@ try:
 except AttributeError:  # flag removed in newer JAX: the bug is fixed there
     pass
 
+if _os.environ.get("CCJ_COMPILE_CACHE", "1") != "0":
+    # Persistent compilation cache: one executable per (length bucket,
+    # dangles) serves every sequence, so a warm cache makes cold start ~=
+    # warm start.  Round 2 disabled this over a JAX 0.9 reload bug
+    # ("Execution supplied N buffers..."); with every const leaf committed
+    # and unused args pruned (engine/fold.build_consts / prune_consts) the
+    # reloaded executables agree with the fastpath again — validated by a
+    # two-process test in tests/test_cache.py.
+    _cache_dir = _os.environ.get(
+        "CCJ_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),
+                      ".jax_cache"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except AttributeError:
+        pass
+
 from .api import FoldResult, fold
 
 __all__ = ["fold", "FoldResult"]
