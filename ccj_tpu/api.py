@@ -111,6 +111,7 @@ def partition(
     num_samples: int = 1000,
     seed: int = 0,
     ps_path: str | None = None,
+    device: bool | None = None,
 ) -> PFResult:
     """Partition function + Boltzmann sampling (+ optional PS dot plot).
 
@@ -118,6 +119,11 @@ def partition(
     (reference: src/CCJ.cc:51-56, src/part_func.cc, src/stoch_backtrack.cc)
     with corrected recurrences and a completed pseudoknot sampler; see
     engine/pf.py for the documented divergences.
+
+    ``device`` selects the engine: True = the JAX sum-product wavefront
+    fill (engine/pf4d.py, float32 on accelerators), False = the host
+    float64 oracle (engine/pf.py, O(n^5) Python — fine to n~20), None =
+    device for n >= 24.
     """
     from .engine.pf import ensemble_energy, pf_fill
     from .engine.sample import sample_structures, write_dot_plot
@@ -132,7 +138,14 @@ def partition(
     tables = _load_tables(param_file, dna and param_file is None)
     sp = scale_parameters(tables, temperature=temperature, dangles=dangles)
     tabs = build_seq_tables(seq, sp, pk, no_gu=no_gu)
-    res = pf_fill(tabs, sp, pk)
+    if device is None:
+        device = tabs.n >= 24
+    if device:
+        from .engine.pf4d import pf_fill_device
+
+        res = pf_fill_device(tabs, sp, pk)
+    else:
+        res = pf_fill(tabs, sp, pk)
     counts, _ = sample_structures(tabs, sp, pk, res, num_samples=num_samples,
                                   seed=seed)
     import numpy as _np
