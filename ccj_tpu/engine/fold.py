@@ -235,7 +235,9 @@ def bucket_segments(n: int):
     return segs
 
 
-def fill4(Cp, SC4, n: int, dangles: int, wave: int = 1):
+def fill4(Cp, SC4, n: int, dangles: int, wave: int = 1,
+          checkpoint_dir: str | None = None, checkpoint_every: int = 32,
+          on_span=None):
     """Host-driven v4 fill: per-span jitted steps, executed in lockstep.
 
     The big state is donated step to step, so it stays in place on the
@@ -246,18 +248,64 @@ def fill4(Cp, SC4, n: int, dangles: int, wave: int = 1):
     wave=100 5.5s), while lockstep runs at device speed.  Returns the state
     dict of device arrays, same keys/layouts as fill3 apart from the
     retired ST_PL/ST_PR shadows.
+
+    ``checkpoint_dir`` snapshots the whole wavefront state every
+    ``checkpoint_every`` spans and resumes from the newest snapshot on the
+    next call (long fills survive preemption; the reference restarts from
+    scratch).  ``on_span(s, seconds)`` is an observability hook (per-span
+    wall time, used by tools/profile_fill.py and CCJ_PROFILE=1).
     """
+    import time as _time
+
     from .gapped4 import bucket_dims, init_big_state4
 
-    st = init_state(n)
-    st.update(init_big_state4(n))
+    s0 = 0
+    st = None
+    if checkpoint_dir:
+        s0, st = _load_checkpoint(checkpoint_dir, n)
+    if st is None:
+        st = init_state(n)
+        st.update(init_big_state4(n))
+        s0 = 0
     st = {k: jax.device_put(v) for k, v in st.items()}
-    for s in range(n):
+    for s in range(s0, n):
+        t0 = _time.time()
         TB, IB = bucket_dims(n, s)
         st = span_step4(Cp, SC4, st, s, n=n, dangles=dangles, TB=TB, IB=IB)
         if s % wave == wave - 1:
             st["V"].block_until_ready()
+        if on_span is not None:
+            st["V"].block_until_ready()
+            on_span(s, _time.time() - t0)
+        if checkpoint_dir and (s + 1) % checkpoint_every == 0 and s + 1 < n:
+            _save_checkpoint(checkpoint_dir, n, s + 1, st)
     return st
+
+
+def _save_checkpoint(path, n, next_span, st):
+    """Atomic snapshot of the wavefront state after span ``next_span``-1."""
+    import os
+    import tempfile
+
+    os.makedirs(path, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp.npz")
+    os.close(fd)
+    np.savez(tmp, __n=n, __next_span=next_span,
+             **{k: np.asarray(v) for k, v in st.items()})
+    os.replace(tmp, os.path.join(path, "wavefront.npz"))
+
+
+def _load_checkpoint(path, n):
+    import os
+
+    f = os.path.join(path, "wavefront.npz")
+    if not os.path.exists(f):
+        return 0, None
+    data = np.load(f)
+    if int(data["__n"]) != n:
+        return 0, None
+    st = {k: data[k] for k in data.files if not k.startswith("__")}
+    return int(data["__next_span"]), st
 
 
 @functools.partial(jax.jit, static_argnames=("n", "dangles"))
@@ -313,13 +361,23 @@ def best_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties, version: int = 
             f"unknown fill version {version!r} (expected 1..5)")
     C = build_consts(tabs, P, pk)
     if version in (4, 5):
+        import os
+
         from .gapped4 import build_sc4
 
         SC4 = build_sc4(tabs)
         Cp = prune_consts(C, P.dangles, version)
         if version == 5:
             return lambda: fill5(Cp, SC4, tabs.n, P.dangles)
-        return lambda: fill4(Cp, SC4, tabs.n, P.dangles)
+        on_span = None
+        if os.environ.get("CCJ_PROFILE"):
+            import sys
+
+            on_span = lambda s, dt: print(  # noqa: E731
+                f"[ccj-profile] span {s}: {dt * 1e3:.2f} ms", file=sys.stderr)
+        ckpt = os.environ.get("CCJ_CHECKPOINT_DIR") or None
+        return lambda: fill4(Cp, SC4, tabs.n, P.dangles,
+                             checkpoint_dir=ckpt, on_span=on_span)
     if version in (2, 3):
         from .gapped2 import build_stencil_consts
 
