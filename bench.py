@@ -92,7 +92,7 @@ def run_batch(n=60, batch=8, repeats=2):
     import jax
     import numpy as np
 
-    from ccj_tpu.dist.batch import fold_batch
+    from ccj_tpu.dist.batch import batched_fill4
     from ccj_tpu.params import DEFAULT_PK, parse_par, scale_parameters
 
     sp = scale_parameters(
@@ -100,7 +100,7 @@ def run_batch(n=60, batch=8, repeats=2):
                   / "rna_DirksPierce09.par"))
     rng = random.Random(7)
     seqs = ["".join(rng.choice("ACGU") for _ in range(n)) for _ in range(batch)]
-    out, n_pad = fold_batch(seqs, sp, DEFAULT_PK)  # compile + warm
+    out, n_pad = batched_fill4(seqs, sp, DEFAULT_PK)  # compile + warm
     jax.block_until_ready(out)
     assert int(np.asarray(out["V"][0, 1, n])) < 10_000_001
     best = float("inf")
@@ -108,7 +108,7 @@ def run_batch(n=60, batch=8, repeats=2):
         del out
         gc.collect()
         t0 = time.time()
-        out, _ = fold_batch(seqs, sp, DEFAULT_PK)
+        out, _ = batched_fill4(seqs, sp, DEFAULT_PK)
         jax.block_until_ready(out)
         best = min(best, time.time() - t0)
     assert int(np.asarray(out["V"][0, 1, n])) < 10_000_001

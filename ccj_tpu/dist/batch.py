@@ -73,6 +73,72 @@ def stack_consts(seqs, P_: ScaledParams, pk: PKPenalties, no_gu=False, pad_to=No
     return stack(consts), stack(stencils), n_pad
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "dangles", "TB", "IB"),
+    donate_argnames=("st",),
+)
+def _span_step4_batched(Cb, SC4b, st, s, n: int, dangles: int,
+                        TB: int, IB: int):
+    from ..engine.fold import span_step4
+
+    axes = ({k: (None if jnp.ndim(v) == 0 else 0) for k, v in Cb.items()},
+            {k: 0 for k in SC4b}, {k: 0 for k in st}, None)
+    return jax.vmap(
+        lambda C, SC, st_, s_: span_step4.__wrapped__(
+            C, SC, st_, s_, n=n, dangles=dangles, TB=TB, IB=IB),
+        in_axes=axes,
+    )(Cb, SC4b, st, s)
+
+
+def batched_fill4(seqs, P_: ScaledParams, pk: PKPenalties, no_gu=False,
+                  mesh: Mesh | None = None, pad_to=None):
+    """Data-parallel batch fold on the shipping v4 engine.
+
+    Stacks per-sequence tables, shards the batch axis over ``data`` when a
+    mesh is given, and runs the v4 span steps vmapped in lockstep (see
+    fold.fill4).  Returns (stacked state dict, padded length).
+    """
+    from ..engine.fold import build_consts, init_state, prune_consts
+    from ..engine.gapped4 import (bucket_dims, build_sc4, init_big_state4)
+
+    n_pad = pad_to or bucket_for(max(len(s) for s in seqs))
+    consts, sc4s = [], []
+    for s in seqs:
+        tabs = pad_seq_tables(
+            build_seq_tables(s, P_, pk, no_gu=no_gu), n_pad, P_, pk,
+            no_gu=no_gu)
+        consts.append(prune_consts(build_consts(tabs, P_, pk),
+                                   P_.dangles, 4))
+        sc4s.append(build_sc4(tabs))
+
+    def stack(dicts):
+        return {k: (dicts[0][k] if jnp.ndim(dicts[0][k]) == 0
+                    else jnp.stack([d[k] for d in dicts]))
+                for k in dicts[0]}
+
+    Cb, SC4b = stack(consts), stack(sc4s)
+    st = init_state(n_pad)
+    st.update(init_big_state4(n_pad))
+    B = len(seqs)
+    st = {k: jnp.broadcast_to(v, (B,) + v.shape) for k, v in st.items()}
+    put = None
+    if mesh is not None:
+        spec = NamedSharding(mesh, P("data"))
+        put = lambda v: v if jnp.ndim(v) == 0 else jax.device_put(v, spec)
+        Cb = {k: put(v) for k, v in Cb.items()}
+        SC4b = {k: put(v) for k, v in SC4b.items()}
+        st = {k: put(v) for k, v in st.items()}
+    else:
+        st = {k: jax.device_put(v) for k, v in st.items()}
+    for s in range(n_pad):
+        TB, IB = bucket_dims(n_pad, s)
+        st = _span_step4_batched(Cb, SC4b, st, s, n=n_pad,
+                                 dangles=P_.dangles, TB=TB, IB=IB)
+        st["V"].block_until_ready()   # lockstep: see fold.fill4
+    return st, n_pad
+
+
 def batched_fill(Cb, SCb, n: int, dangles: int, mesh: Mesh | None = None):
     """vmap the span-slab fill over the batch; optionally shard over ``data``.
 

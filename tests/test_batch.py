@@ -95,3 +95,34 @@ def test_batched_fill_sharded_over_mesh():
     single = run_fill(tabs, sp, DEFAULT_PK)
     np.testing.assert_array_equal(np.asarray(out["V"][0]), single["V"])
     np.testing.assert_array_equal(np.asarray(out["PK"][0]), single["PK"])
+
+
+def test_batched_fill4_matches_unbatched_v4():
+    """The v4 (shipping) engine's batch path: per-sequence bit equality and
+    a genuinely partitioned batch axis on the 8-device mesh."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from ccj_tpu.dist.batch import batched_fill4
+    from ccj_tpu.engine.fold import best_fill
+    from ccj_tpu.engine.gapped import M4_NAMES
+    from ccj_tpu.params import DEFAULT_PK, parse_par, scale_parameters
+    from ccj_tpu.precompute import build_seq_tables, pad_seq_tables
+
+    from oracle_util import REPO
+
+    sp = scale_parameters(
+        parse_par(REPO / "ccj_tpu" / "params" / "rna_DirksPierce09.par"))
+    seqs = ["GCGCAAUUGCGC", "GGCGCUUGCGCC", "GCGCUUCGCGCA",
+            "AGCGAAACGCUU"] * 2
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    out, n_pad = batched_fill4(seqs, sp, DEFAULT_PK, mesh=mesh)
+    assert len(out["PK"].addressable_shards) == 8
+    for i in (0, 3):
+        tabs = pad_seq_tables(build_seq_tables(seqs[i], sp, DEFAULT_PK),
+                              n_pad, sp, DEFAULT_PK)
+        ref = best_fill(tabs, sp, DEFAULT_PK, 4)()
+        for k in M4_NAMES + ["V", "P2", "WBP", "WPP"]:
+            np.testing.assert_array_equal(
+                np.asarray(out[k][i]), np.asarray(ref[k]), f"{i}:{k}")
