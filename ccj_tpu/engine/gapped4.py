@@ -59,6 +59,14 @@ B4_MATS = ("PK", "PLmloop00", "PLmloop10", "PMmloop00", "PfromL",
 PADT4 = 32  # STM row padding beyond TB (the PM stencil reads tt + 2*DS)
 _BUCKETS = (16, 32, 64, 128, 256, 512)
 
+# CCJ_PALLAS=1 routes the serial loop's k-shrink suffix reductions through
+# the Pallas VPU kernel (engine/pallas_ops.py); "interpret" runs the same
+# kernel in interpreter mode (used by tests on CPU).  Off by default — the
+# XLA formulation is the oracle-tested reference path.
+import os as _os
+
+_USE_PALLAS = _os.environ.get("CCJ_PALLAS", "")
+
 
 def bucket_dims(n: int, s: int):
     """Static (TB, IB) for span s: TB covers tt in [0, s-2], IB covers
@@ -429,6 +437,15 @@ def span_gapped4(C, SC4, st, s, TB, IB):
         row_ok = tp1 > tt
 
         def red_k(slab, w, k1):
+            if _USE_PALLAS:
+                from .pallas_ops import minplus_suffix
+
+                # fold the k1 bound (tp + j - i <= s - 3) into... it varies
+                # with i, so only the i-free masks fold into w; apply Mk1 by
+                # pre-masking the slab copy instead.
+                sl = jnp.where(Mk1, slab[:TB], INF) if k1 else slab[:TB]
+                return minplus_suffix(sl, w, tt,
+                                      interpret=_USE_PALLAS == "interpret")
             mask = row_ok & Mk1 if k1 else row_ok
             return jnp.min(jnp.where(mask, slab[:TB] + w[:, None, :], INF),
                            axis=0)
