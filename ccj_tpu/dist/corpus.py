@@ -59,7 +59,8 @@ def fold_shard(seqs, indices, retries: int = 2, **kw):
     return sorted(out, key=lambda r: r.index)
 
 
-def fold_corpus(seqs, retries: int = 2, **kw):
+def fold_corpus(seqs, retries: int = 2, merge_timeout_ms: int | None = None,
+                **kw):
     """Shard ``seqs`` over all JAX processes and fold; every process
     returns the full merged, corpus-ordered result list.
 
@@ -67,6 +68,12 @@ def fold_corpus(seqs, retries: int = 2, **kw):
     fold of everything.  Multi-process exchange rides the distributed
     runtime's key-value store, so it works on CPU loopback exactly as on a
     multi-host pod slice.
+
+    ``merge_timeout_ms`` bounds how long the fastest process waits at the
+    merge barrier for the slowest.  The default scales with the shard size
+    (10 min + 1 min/sequence): shard wall times skew by whole fills plus
+    per-sequence retries and recompiles, so a fixed small timeout would
+    kill exactly the long-corpus runs the retry machinery exists for.
     """
     import jax
 
@@ -77,6 +84,9 @@ def fold_corpus(seqs, retries: int = 2, **kw):
                        retries=retries, **kw)
     if nproc == 1:
         return local
+    if merge_timeout_ms is None:
+        shard = (len(seqs) + nproc - 1) // max(nproc, 1)
+        merge_timeout_ms = 600_000 + 60_000 * shard
 
     # merge via the distributed runtime's key-value store
     import json
@@ -86,10 +96,11 @@ def fold_corpus(seqs, retries: int = 2, **kw):
     client = distributed.global_state.client
     payload = json.dumps([dataclasses.asdict(r) for r in local])
     client.key_value_set(f"ccj/corpus/{pid}", payload)
-    client.wait_at_barrier("ccj/corpus/done", 120_000)
+    client.wait_at_barrier("ccj/corpus/done", merge_timeout_ms)
     merged = []
     for p in range(nproc):
-        blob = client.blocking_key_value_get(f"ccj/corpus/{p}", 120_000)
+        blob = client.blocking_key_value_get(f"ccj/corpus/{p}",
+                                             merge_timeout_ms)
         merged.extend(CorpusResult(**d) for d in json.loads(blob))
     merged.sort(key=lambda r: r.index)
     return merged
@@ -110,6 +121,9 @@ def main(argv=None):
     ap.add_argument("--process-id", type=int, default=0)
     ap.add_argument("--dangles", type=int, default=2)
     ap.add_argument("--retries", type=int, default=2)
+    ap.add_argument("--merge-timeout-ms", type=int, default=None,
+                    help="barrier/key-value timeout for the result merge "
+                         "(default: 10 min + 1 min per shard sequence)")
     args = ap.parse_args(argv)
 
     import jax
@@ -119,7 +133,8 @@ def main(argv=None):
                                    args.process_id)
     seqs = [line.strip() for line in open(args.corpus)
             if line.strip() and not line.startswith("#")]
-    res = fold_corpus(seqs, retries=args.retries, dangles=args.dangles)
+    res = fold_corpus(seqs, retries=args.retries, dangles=args.dangles,
+                      merge_timeout_ms=args.merge_timeout_ms)
     if jax.process_index() == 0:
         json.dump([dataclasses.asdict(r) for r in res], open(args.out, "w"),
                   indent=1)

@@ -235,9 +235,27 @@ def bucket_segments(n: int):
     return segs
 
 
+def fold_digest(tabs: SeqTables, P: ScaledParams, pk: PKPenalties) -> str:
+    """Fingerprint of everything that determines the DP state: sequence,
+    parameter tables (via the sequence-specific energy planes, which fold in
+    param set, temperature and noGU), dangle model and PK penalties.  Guards
+    checkpoint resume against mixing state from a different fold."""
+    import dataclasses
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(tabs.seq.encode())
+    h.update(str(P.dangles).encode())
+    h.update(repr(dataclasses.astuple(pk)).encode())
+    h.update(np.ascontiguousarray(tabs.H).tobytes())
+    h.update(np.ascontiguousarray(tabs.ESTP).tobytes())
+    h.update(str(int(P.MLbase)).encode())
+    return h.hexdigest()
+
+
 def fill4(Cp, SC4, n: int, dangles: int, wave: int = 1,
           checkpoint_dir: str | None = None, checkpoint_every: int = 32,
-          on_span=None):
+          on_span=None, digest: str = ""):
     """Host-driven v4 fill: per-span jitted steps, executed in lockstep.
 
     The big state is donated step to step, so it stays in place on the
@@ -262,7 +280,7 @@ def fill4(Cp, SC4, n: int, dangles: int, wave: int = 1,
     s0 = 0
     st = None
     if checkpoint_dir:
-        s0, st = _load_checkpoint(checkpoint_dir, n)
+        s0, st = _load_checkpoint(checkpoint_dir, n, digest)
     if st is None:
         st = init_state(n)
         st.update(init_big_state4(n))
@@ -278,11 +296,13 @@ def fill4(Cp, SC4, n: int, dangles: int, wave: int = 1,
             st["V"].block_until_ready()
             on_span(s, _time.time() - t0)
         if checkpoint_dir and (s + 1) % checkpoint_every == 0 and s + 1 < n:
-            _save_checkpoint(checkpoint_dir, n, s + 1, st)
+            _save_checkpoint(checkpoint_dir, n, s + 1, st, digest)
+    if checkpoint_dir:
+        _clear_checkpoint(checkpoint_dir)
     return st
 
 
-def _save_checkpoint(path, n, next_span, st):
+def _save_checkpoint(path, n, next_span, st, digest=""):
     """Atomic snapshot of the wavefront state after span ``next_span``-1."""
     import os
     import tempfile
@@ -290,12 +310,15 @@ def _save_checkpoint(path, n, next_span, st):
     os.makedirs(path, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp.npz")
     os.close(fd)
-    np.savez(tmp, __n=n, __next_span=next_span,
+    np.savez(tmp, __n=n, __next_span=next_span, __digest=digest,
              **{k: np.asarray(v) for k, v in st.items()})
     os.replace(tmp, os.path.join(path, "wavefront.npz"))
 
 
-def _load_checkpoint(path, n):
+def _load_checkpoint(path, n, digest=""):
+    """Resume only from a snapshot of the SAME fold: the n key alone is not
+    enough (a different sequence / param set / dangle model of equal length
+    would silently resume into wrong structures)."""
     import os
 
     f = os.path.join(path, "wavefront.npz")
@@ -304,8 +327,18 @@ def _load_checkpoint(path, n):
     data = np.load(f)
     if int(data["__n"]) != n:
         return 0, None
+    if str(data.get("__digest", "")) != digest:
+        return 0, None
     st = {k: data[k] for k in data.files if not k.startswith("__")}
     return int(data["__next_span"]), st
+
+
+def _clear_checkpoint(path):
+    import contextlib
+    import os
+
+    with contextlib.suppress(OSError):
+        os.remove(os.path.join(path, "wavefront.npz"))
 
 
 @functools.partial(jax.jit, static_argnames=("n", "dangles"))
@@ -376,8 +409,10 @@ def best_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties, version: int = 
             on_span = lambda s, dt: print(  # noqa: E731
                 f"[ccj-profile] span {s}: {dt * 1e3:.2f} ms", file=sys.stderr)
         ckpt = os.environ.get("CCJ_CHECKPOINT_DIR") or None
+        dig = fold_digest(tabs, P, pk) if ckpt else ""
         return lambda: fill4(Cp, SC4, tabs.n, P.dangles,
-                             checkpoint_dir=ckpt, on_span=on_span)
+                             checkpoint_dir=ckpt, on_span=on_span,
+                             digest=dig)
     if version in (2, 3):
         from .gapped2 import build_stencil_consts
 

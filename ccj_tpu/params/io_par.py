@@ -28,7 +28,7 @@ MAXLOOP = 30
 TURN = 3
 LXC37 = 107.856  # reference: src/ViennaRNA/params/default.c:64 (not read from file)
 
-_DATA_DIR = Path(__file__).resolve().parents[2] / "params"
+_DATA_DIR = Path(__file__).resolve().parent
 _BASE_RNA_JSON = Path(__file__).resolve().parent / "base_defaults_rna.json"
 _BASE_DNA_JSON = Path(__file__).resolve().parent / "base_defaults_dna.json"
 
