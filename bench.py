@@ -1,15 +1,22 @@
 #!/usr/bin/env python3
-"""Benchmark: 4-D DP cell-update throughput + batch seqs/s vs the reference.
+"""Benchmark: 4-D DP cell-update throughput, batch seqs/s, process scaling.
 
 Prints ONE JSON line (the driver contract):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-plus, on stderr, the full per-size breakdown (cells/s, seqs/s, roofline
-estimate) for humans.
+plus, on stderr, the full per-size breakdown (cells/s, wall, scaling
+exponent, batch seqs/s, 1-vs-2-process efficiency) for humans.
 
 vs_baseline compares against the reference C++ single-core fold wall time
 at the same n (BASELINE.md measured table); >1.0 means faster.
 
-Optional: --trace DIR dumps a jax.profiler trace of one timed fill.
+MEASUREMENT HONESTY: the accelerator tunnel used in this environment
+acknowledges dispatches early until the first device->host transfer of the
+process, after which every dispatch is synchronous (~30-85 ms) — so
+timings taken before any transfer under-report by orders of magnitude
+(round-3's README numbers were this artifact).  This bench performs a
+readback BEFORE the timed region, putting the process in the synchronous
+mode, and verifies a golden DP cell value after it: the timed figures are
+real end-to-end device walls.
 """
 
 import gc
@@ -21,8 +28,16 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-# reference single-core wall times (BASELINE.md, measured)
-REF_SECONDS = {30: 0.037, 60: 1.43, 100: 28.7, 150: 316.6, 200: 1467.2}
+# reference single-core wall times (BASELINE.md, measured; 126 measured in
+# round 4 for the packed-engine anchor: /tmp-run of .ref_build/CCJ, 117 s)
+REF_SECONDS = {30: 0.037, 60: 1.43, 100: 28.7, 126: 117.0, 150: 316.6,
+               200: 1467.2}
+
+# Golden V(1, n) values for the seed-42 bench sequences, produced by the
+# oracle-parity-tested engine (tests/test_fill.py ties the engine to the
+# reference cell-by-cell); a fast-but-wrong regression fails the assert
+# instead of benching green.
+BENCH_V = {30: 332, 60: -176, 100: -1528, 126: -2010}
 
 # Roofline context (documented estimate, not measured): each 4-D cell does
 # ~O(n) int32 min-plus candidate ops across its 22 families plus the
@@ -30,38 +45,55 @@ REF_SECONDS = {30: 0.037, 60: 1.43, 100: 28.7, 150: 316.6, 200: 1467.2}
 # per fill.  One TPU v5e chip sustains order 1e11-1e12 int32 VPU ops/s, so
 # the 50%-of-roofline target corresponds to ~10-100ms per n=100 fill
 # (1e9-1e10 cells/s).
-ROOFLINE_CELLS_S = 3e9  # conservative: 6e9 ops / (2e12 ops/s * 0.5) -> n=100
+ROOFLINE_CELLS_S = 3e9
 
 
 def cells4d(n):
     return 22 * n * (n + 1) * (n + 2) * (n + 3) // 24
 
 
+def bench_seq(n, seed=42):
+    rng = random.Random(seed)
+    return "".join(rng.choice("ACGU") for _ in range(n))
+
+
 def setup(n, seed=42):
     from ccj_tpu.params import DEFAULT_PK, parse_par, scale_parameters
     from ccj_tpu.precompute import build_seq_tables
 
-    rng = random.Random(seed)
-    seq = "".join(rng.choice("ACGU") for _ in range(n))
+    seq = bench_seq(n, seed)
     sp = scale_parameters(
         parse_par(Path(__file__).parent / "ccj_tpu" / "params"
                   / "rna_DirksPierce09.par"))
     return seq, sp, build_seq_tables(seq, sp, DEFAULT_PK)
 
 
-def run_single(n, repeats=3, version=4, trace_dir=None):
-    import jax
+def check_v(st, n):
     import numpy as np
+
+    v = int(np.asarray(st["V"][1, n]))
+    if n in BENCH_V:
+        assert v == BENCH_V[n], f"V(1,{n}) = {v}, want {BENCH_V[n]}"
+    else:
+        assert v < 10_000_001
+    return v
+
+
+def run_single(n, repeats=3, version=None, trace_dir=None):
+    import jax
 
     from ccj_tpu.engine.fold import best_fill
     from ccj_tpu.params import DEFAULT_PK
 
     seq, sp, tabs = setup(n)
     fn = best_fill(tabs, sp, DEFAULT_PK, version=version)
+    t0 = time.time()
     st = fn()  # compile + warm up
     jax.block_until_ready(st)
-    v = int(np.asarray(st["V"][1, n]))
-    assert v < 10_000_001  # finite: the fill produced a real energy
+    compile_s = time.time() - t0
+    # This readback (a) checks the result and (b) deliberately switches the
+    # tunnel into its honest synchronous mode BEFORE the timed region.
+    check_v(st, n)
     best = float("inf")
     for r in range(repeats):
         # the 4-D state is large; free the previous copy before launching
@@ -78,21 +110,18 @@ def run_single(n, repeats=3, version=4, trace_dir=None):
         best = min(best, time.time() - t0)
         if ctx is not None:
             ctx.__exit__(None, None, None)
-    # the timed re-executions must also produce a real energy (guards the
-    # JAX 0.9 cached-executable re-execution bug class)
-    v = int(np.asarray(st["V"][1, n]))
-    assert v < 10_000_001
+    check_v(st, n)
     del st
     gc.collect()
-    return best
+    return best, compile_s
 
 
-def run_batch(n=60, batch=8, repeats=2):
-    """Data-parallel batch fold wall time per batch (seqs/s)."""
+def run_batch(n=60, batch=4, repeats=2):
+    """Data-parallel batch fold (single-dispatch vmapped fill6): seqs/s."""
     import jax
     import numpy as np
 
-    from ccj_tpu.dist.batch import batched_fill4
+    from ccj_tpu.dist.batch import batched_fill6
     from ccj_tpu.params import DEFAULT_PK, parse_par, scale_parameters
 
     sp = scale_parameters(
@@ -100,7 +129,7 @@ def run_batch(n=60, batch=8, repeats=2):
                   / "rna_DirksPierce09.par"))
     rng = random.Random(7)
     seqs = ["".join(rng.choice("ACGU") for _ in range(n)) for _ in range(batch)]
-    out, n_pad = batched_fill4(seqs, sp, DEFAULT_PK)  # compile + warm
+    out, n_pad = batched_fill6(seqs, sp, DEFAULT_PK)  # compile + warm
     jax.block_until_ready(out)
     assert int(np.asarray(out["V"][0, 1, n])) < 10_000_001
     best = float("inf")
@@ -108,7 +137,7 @@ def run_batch(n=60, batch=8, repeats=2):
         del out
         gc.collect()
         t0 = time.time()
-        out, _ = batched_fill4(seqs, sp, DEFAULT_PK)
+        out, _ = batched_fill6(seqs, sp, DEFAULT_PK)
         jax.block_until_ready(out)
         best = min(best, time.time() - t0)
     assert int(np.asarray(out["V"][0, 1, n])) < 10_000_001
@@ -117,49 +146,139 @@ def run_batch(n=60, batch=8, repeats=2):
     return batch / best
 
 
+def run_proc_scaling(nseqs=8, seqlen=24, timeout=1200):
+    """1-process vs 2-process CPU-loopback corpus throughput.
+
+    Returns (seqs_per_s_1p, seqs_per_s_2p, efficiency) where efficiency =
+    (sps_2p / sps_1p) / 2 — the stand-in for BASELINE.json's >=80 %
+    multi-host scaling target, measurable without a second host.  Wall
+    times come from the corpus driver's own fold-seconds stderr line, so
+    interpreter startup and compile-cache loading are excluded.
+    """
+    import os
+    import re
+    import socket
+    import subprocess
+    import tempfile
+
+    rng = random.Random(11)
+    seqs = ["".join(rng.choice("ACGU") for _ in range(seqlen))
+            for _ in range(nseqs)]
+    tmp = tempfile.mkdtemp(prefix="ccj_bench_")
+    corpus = os.path.join(tmp, "corpus.txt")
+    with open(corpus, "w") as f:
+        f.write("\n".join(seqs) + "\n")
+
+    env = dict(os.environ)
+    env["CCJ_TPU_PLATFORM"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = str(Path(__file__).parent)
+
+    def run(nproc):
+        port = None
+        if nproc > 1:
+            s = socket.socket()
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+            s.close()
+        procs = []
+        for pid in range(nproc):
+            cmd = [sys.executable, "-m", "ccj_tpu.dist.corpus",
+                   corpus, os.path.join(tmp, f"out{nproc}.json")]
+            if nproc > 1:
+                cmd += ["--coordinator", f"127.0.0.1:{port}",
+                        "--num-processes", str(nproc),
+                        "--process-id", str(pid)]
+            procs.append(subprocess.Popen(
+                cmd, env=env, cwd=Path(__file__).parent,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+        outs = [p.communicate(timeout=timeout) for p in procs]
+        walls = []
+        for p, (_, se) in zip(procs, outs):
+            if p.returncode != 0:
+                raise RuntimeError(se.decode()[-1500:])
+            m = re.search(r"corpus-fold-seconds ([0-9.]+)", se.decode())
+            walls.append(float(m.group(1)) if m else None)
+        if any(w is None for w in walls):
+            raise RuntimeError("no corpus-fold-seconds line")
+        return max(walls)   # the run is as slow as its slowest process
+
+    run(1)                  # warm the persistent compile cache
+    t1 = run(1)
+    t2 = run(2)
+    sps1, sps2 = nseqs / t1, nseqs / t2
+    return sps1, sps2, (sps2 / sps1) / 2.0
+
+
 def main():
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace", default=None,
                     help="dump a jax.profiler trace of one timed fill here")
-    ap.add_argument("--sizes", default="100,60,30")
-    ap.add_argument("--batch", type=int, default=0,
-                    help="also measure batch seqs/s at n=100 (batch size)")
+    ap.add_argument("--sizes", default="126,100,60",
+                    help="fill sizes, headline first (= first success); "
+                         "126 runs the packed fill7 engine")
+    ap.add_argument("--batch", type=int, default=4,
+                    help="batch size for the n=60 batch bench (0 disables)")
+    ap.add_argument("--proc-scaling", type=int, default=1,
+                    help="run the 1-vs-2-process CPU corpus scaling bench")
+    ap.add_argument("--engine", type=int, default=None,
+                    help="fill version override (default: env/6)")
     args = ap.parse_args()
 
     results = []
+    walls = {}
     for n in [int(x) for x in args.sizes.split(",")]:
         try:
-            secs = run_single(n, trace_dir=args.trace)
-        except Exception as exc:  # noqa: BLE001 — fall back to a smaller size
+            secs, compile_s = run_single(n, version=args.engine,
+                                         trace_dir=args.trace)
+        except Exception as exc:  # noqa: BLE001 — try the next size
             print(f"bench n={n} failed: {exc}", file=sys.stderr)
             continue
+        walls[n] = secs
         rate = cells4d(n) / secs
-        ref_rate = cells4d(n) / REF_SECONDS[n]
+        ref_s = REF_SECONDS.get(n)
         results.append({
             "metric": f"4D DP cell-updates/s/chip (n={n} MFE fill)",
             "value": round(rate, 1),
             "unit": "cells/s",
-            "vs_baseline": round(rate / ref_rate, 3),
+            "vs_baseline": round(ref_s / secs, 3) if ref_s else 0.0,
             "wall_s": round(secs, 4),
+            "compile_s": round(compile_s, 1),
             "roofline_frac": round(rate / ROOFLINE_CELLS_S, 4),
         })
-        break  # headline = largest size that works
+
+    ns = sorted(walls)
+    for a, b in zip(ns, ns[1:]):
+        import math
+
+        alpha = math.log(walls[b] / walls[a]) / math.log(b / a)
+        print(json.dumps({"metric": f"scaling exponent n={a}->{b}",
+                          "value": round(alpha, 2), "unit": "t ~ n^a"}),
+              file=sys.stderr)
 
     if args.batch:
         try:
-            # n=60: 8 stacked fills fit one chip's HBM (n=100 would not
-            # with the dense [T,S,n2,n2] layouts)
             sps = run_batch(60, batch=args.batch)
-            results.append({
+            ref = 1.0 / REF_SECONDS[60]
+            print(json.dumps({
                 "metric": f"batch fold seqs/s (n=60, batch={args.batch})",
-                "value": round(sps, 3),
-                "unit": "seqs/s",
-                "vs_baseline": round(sps / (1.0 / REF_SECONDS[60]), 3),
-            })
+                "value": round(sps, 3), "unit": "seqs/s",
+                "vs_baseline": round(sps / ref, 3)}), file=sys.stderr)
         except Exception as exc:  # noqa: BLE001
             print(f"batch bench failed: {exc}", file=sys.stderr)
+
+    if args.proc_scaling:
+        try:
+            sps1, sps2, eff = run_proc_scaling()
+            print(json.dumps({
+                "metric": "corpus seqs/s 1proc vs 2proc (CPU loopback)",
+                "seqs_s_1proc": round(sps1, 3),
+                "seqs_s_2proc": round(sps2, 3),
+                "scaling_efficiency": round(eff, 3)}), file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            print(f"proc-scaling bench failed: {exc}", file=sys.stderr)
 
     if not results:
         print(json.dumps({"metric": "fill failed", "value": 0,

@@ -56,8 +56,13 @@ def fold(
     pk: PKPenalties = DEFAULT_PK,
     temperature: float = 37.0,
     bucket: bool = True,
+    lazy: bool | None = None,
 ) -> FoldResult:
     """Predict the MFE pseudoknotted secondary structure of one sequence.
+
+    ``lazy`` keeps the DP state on device and lets the traceback fetch
+    per-span slabs on demand (default: on for accelerator backends, off on
+    CPU where host transfers are free).
 
     ``bucket`` pads the device fill to a length bucket (dist/batch.BUCKETS)
     so one compiled executable serves every length in the bucket; the padded
@@ -76,19 +81,113 @@ def fold(
     tables = _load_tables(param_file, dna and param_file is None)
     sp = scale_parameters(tables, temperature=temperature, dangles=dangles)
     tabs = build_seq_tables(seq, sp, pk, no_gu=no_gu)
-    if bucket:
+    from .engine.fold import DENSE_MAX_N
+
+    if bucket and len(seq) <= DENSE_MAX_N:
         from .dist.batch import bucket_for
         from .precompute import pad_seq_tables
 
         tabs_fill = pad_seq_tables(tabs, bucket_for(len(seq)), sp, pk, no_gu=no_gu)
     else:
+        # long sequences run the packed fill at their exact length: bucket
+        # padding grows the O(n^4) state by (bucket/n)^4, real HBM at this
+        # scale
         tabs_fill = tabs
-    mats = run_fill(tabs_fill, sp, pk)
+    if lazy is None:
+        import jax as _jax
+
+        # accelerators: avoid the slow host link; packed fills (> dense
+        # reach): the lazy layer is also the packed-layout reader
+        lazy = (_jax.default_backend() != "cpu"
+                or len(seq) > DENSE_MAX_N)
+    if lazy:
+        # keep the O(n^4) state on device; the traceback fetches per-span
+        # slabs on demand (engine/lazy.py) instead of pulling ~GBs across
+        # a slow accelerator link
+        import jax as _jax
+
+        from .engine.fold import best_fill
+        from .engine.lazy import LazyMats
+
+        st = best_fill(tabs_fill, sp, pk)()
+        _jax.block_until_ready(st)
+        segs = None
+        if "PK@0" in st:
+            from .engine.gapped5 import segments7
+
+            segs = segments7(tabs_fill.n)
+        mats = LazyMats(st, tabs_fill.n, segs=segs)
+    else:
+        mats = run_fill(tabs_fill, sp, pk)
     tb = Traceback(tabs, sp, pk, mats)
     e_dcal, structure = tb.run()
+    if lazy:
+        import os as _os
+        import sys as _sys
+
+        if _os.environ.get("CCJ_TRANSFER_STATS"):
+            print(f"[ccj] traceback host-ward transfer: "
+                  f"{mats.bytes_fetched / 1e6:.1f} MB in "
+                  f"{mats.slab_fetches} slab fetches", file=_sys.stderr)
     return FoldResult(
         seq=seq, structure=structure, energy=e_dcal / 100.0, energy_dcal=e_dcal
     )
+
+
+def fold_many(
+    seqs,
+    dangles: int = 2,
+    param_file: str | None = None,
+    no_gu: bool = False,
+    no_conv: bool = False,
+    pk: PKPenalties = DEFAULT_PK,
+    temperature: float = 37.0,
+    batch_limit: int = 8,
+):
+    """Fold a list of sequences with data-parallel batched device fills.
+
+    Sequences are grouped by length bucket; each group runs through ONE
+    vmapped single-dispatch fill (dist.batch.batched_fill6) in chunks of
+    ``batch_limit``, then each sequence's matrices feed the host traceback.
+    Results keep input order.  This replaces len(seqs) sequential fills
+    with ceil(len/batch_limit) device dispatches per bucket — the batch
+    analogue of the reference's one-sequence-per-process CLI
+    (reference: src/CCJ.cc:67-72).
+    """
+    import numpy as np
+
+    from .dist.batch import batched_fill6, bucket_for
+
+    prepped = []
+    for idx, seq0 in enumerate(seqs):
+        seq = seq0.upper()
+        if not no_conv:
+            seq = seq_to_rna(seq)
+        validate_sequence(seq)
+        prepped.append((idx, seq))
+
+    tables = _load_tables(param_file, False)
+    sp = scale_parameters(tables, temperature=temperature, dangles=dangles)
+
+    groups: dict[int, list] = {}
+    for idx, seq in prepped:
+        groups.setdefault(bucket_for(len(seq)), []).append((idx, seq))
+
+    results = [None] * len(seqs)
+    for b in sorted(groups):
+        items = groups[b]
+        for lo in range(0, len(items), batch_limit):
+            chunk = items[lo: lo + batch_limit]
+            st, _ = batched_fill6([s for _, s in chunk], sp, pk,
+                                  no_gu=no_gu, pad_to=b)
+            for bi, (idx, seq) in enumerate(chunk):
+                mats = {k: np.asarray(v[bi]) for k, v in st.items()}
+                tabs = build_seq_tables(seq, sp, pk, no_gu=no_gu)
+                e_dcal, structure = Traceback(tabs, sp, pk, mats).run()
+                results[idx] = FoldResult(seq=seq, structure=structure,
+                                          energy=e_dcal / 100.0,
+                                          energy_dcal=e_dcal)
+    return results
 
 
 @dataclasses.dataclass
@@ -146,6 +245,16 @@ def partition(
         res = pf_fill_device(tabs, sp, pk)
     else:
         res = pf_fill(tabs, sp, pk)
+    import math as _math
+
+    z = float(res["W"][tabs.n])
+    if not _math.isfinite(z) or z <= 0.0:
+        # the reference's own pf stack NaNs silently on long sequences
+        # (src/CCJ.cc:105, src/part_func.cc:107); fail loudly instead
+        raise FloatingPointError(
+            f"partition function overflow/underflow: Z = {z!r} at n = "
+            f"{tabs.n} (float32 device pf is validated to n~200; "
+            "use device=False for the float64 host engine)")
     counts, _ = sample_structures(tabs, sp, pk, res, num_samples=num_samples,
                                   seed=seed)
     import numpy as _np

@@ -99,25 +99,11 @@ def batched_fill4(seqs, P_: ScaledParams, pk: PKPenalties, no_gu=False,
     mesh is given, and runs the v4 span steps vmapped in lockstep (see
     fold.fill4).  Returns (stacked state dict, padded length).
     """
-    from ..engine.fold import build_consts, init_state, prune_consts
-    from ..engine.gapped4 import (bucket_dims, build_sc4, init_big_state4)
+    from ..engine.fold import init_state
+    from ..engine.gapped4 import bucket_dims, init_big_state4
 
-    n_pad = pad_to or bucket_for(max(len(s) for s in seqs))
-    consts, sc4s = [], []
-    for s in seqs:
-        tabs = pad_seq_tables(
-            build_seq_tables(s, P_, pk, no_gu=no_gu), n_pad, P_, pk,
-            no_gu=no_gu)
-        consts.append(prune_consts(build_consts(tabs, P_, pk),
-                                   P_.dangles, 4))
-        sc4s.append(build_sc4(tabs))
-
-    def stack(dicts):
-        return {k: (dicts[0][k] if jnp.ndim(dicts[0][k]) == 0
-                    else jnp.stack([d[k] for d in dicts]))
-                for k in dicts[0]}
-
-    Cb, SC4b = stack(consts), stack(sc4s)
+    Cb, SC4b, n_pad = _stack_v4_consts(seqs, P_, pk, no_gu=no_gu,
+                                       pad_to=pad_to, version=4)
     st = init_state(n_pad)
     st.update(init_big_state4(n_pad))
     B = len(seqs)
@@ -137,6 +123,64 @@ def batched_fill4(seqs, P_: ScaledParams, pk: PKPenalties, no_gu=False,
                                  dangles=P_.dangles, TB=TB, IB=IB)
         st["V"].block_until_ready()   # lockstep: see fold.fill4
     return st, n_pad
+
+
+def _stack_v4_consts(seqs, P_: ScaledParams, pk: PKPenalties, no_gu=False,
+                     pad_to=None, version=6):
+    from ..engine.fold import build_consts, prune_consts
+    from ..engine.gapped4 import build_sc4
+
+    n_pad = pad_to or bucket_for(max(len(s) for s in seqs))
+    consts, sc4s = [], []
+    for s in seqs:
+        tabs = pad_seq_tables(
+            build_seq_tables(s, P_, pk, no_gu=no_gu), n_pad, P_, pk,
+            no_gu=no_gu)
+        consts.append(prune_consts(
+            build_consts(tabs, P_, pk, device=False), P_.dangles, version))
+        sc4s.append(build_sc4(tabs))
+
+    def stack(dicts):
+        return {k: (dicts[0][k] if jnp.ndim(dicts[0][k]) == 0
+                    else jnp.stack([d[k] for d in dicts]))
+                for k in dicts[0]}
+
+    return stack(consts), stack(sc4s), n_pad
+
+
+@functools.partial(jax.jit, static_argnames=("n", "dangles", "mesh"))
+def _batched_fill6(Cb, SC4b, n: int, dangles: int, mesh: Mesh | None = None):
+    from ..engine.fold import fill6
+
+    axes = ({k: (None if jnp.ndim(v) == 0 else 0) for k, v in Cb.items()},
+            {k: 0 for k in SC4b})
+    out = jax.vmap(
+        lambda C, SC: fill6.__wrapped__(C, SC, n, dangles), in_axes=axes
+    )(Cb, SC4b)
+    if mesh is not None:
+        spec = NamedSharding(mesh, P("data"))
+        out = {k: jax.lax.with_sharding_constraint(v, spec)
+               for k, v in out.items()}
+    return out
+
+
+def batched_fill6(seqs, P_: ScaledParams, pk: PKPenalties, no_gu=False,
+                  mesh: Mesh | None = None, pad_to=None):
+    """Data-parallel batch fold on the single-dispatch fill6 engine.
+
+    Unlike batched_fill4 (one dispatch per span, in lockstep), the whole
+    batch fill is ONE executable and ONE dispatch — which also makes its
+    wall time immune to the accelerator-tunnel's degraded post-transfer
+    dispatch mode (see fold.fill6).  Returns (stacked state, padded n).
+    """
+    Cb, SC4b, n_pad = _stack_v4_consts(seqs, P_, pk, no_gu=no_gu,
+                                       pad_to=pad_to, version=6)
+    if mesh is not None:
+        spec = NamedSharding(mesh, P("data"))
+        put = lambda v: v if jnp.ndim(v) == 0 else jax.device_put(v, spec)
+        Cb = {k: put(v) for k, v in Cb.items()}
+        SC4b = {k: put(v) for k, v in SC4b.items()}
+    return _batched_fill6(Cb, SC4b, n_pad, P_.dangles, mesh=mesh), n_pad
 
 
 def batched_fill(Cb, SCb, n: int, dangles: int, mesh: Mesh | None = None):

@@ -48,14 +48,27 @@ def _fold_one(seq: str, retries: int = 2, **kw) -> CorpusResult:
     return CorpusResult(-1, seq, None, None, error=last)
 
 
-def fold_shard(seqs, indices, retries: int = 2, **kw):
-    """Fold a local shard; length-bucket order maximizes compile reuse."""
+def fold_shard(seqs, indices, retries: int = 2, batch_limit: int = 8, **kw):
+    """Fold a local shard in length-bucketed data-parallel batches
+    (api.fold_many); any batch that fails falls back to per-sequence folds
+    with retries, so one bad sequence cannot sink its whole batch."""
+    from ..api import fold_many
+
     order = sorted(range(len(seqs)), key=lambda i: bucket_for(len(seqs[i])))
     out = []
-    for i in order:
-        r = _fold_one(seqs[i], retries=retries, **kw)
-        r.index = indices[i]
-        out.append(r)
+    for lo in range(0, len(order), batch_limit):
+        chunk = order[lo: lo + batch_limit]
+        try:
+            rs = fold_many([seqs[i] for i in chunk],
+                           batch_limit=batch_limit, **kw)
+            for i, r in zip(chunk, rs):
+                out.append(CorpusResult(indices[i], seqs[i], r.structure,
+                                        r.energy))
+        except Exception:  # noqa: BLE001 — batch failed: per-seq fallback
+            for i in chunk:
+                r = _fold_one(seqs[i], retries=retries, **kw)
+                r.index = indices[i]
+                out.append(r)
     return sorted(out, key=lambda r: r.index)
 
 
@@ -133,8 +146,13 @@ def main(argv=None):
                                    args.process_id)
     seqs = [line.strip() for line in open(args.corpus)
             if line.strip() and not line.startswith("#")]
+    import time
+
+    t0 = time.time()
     res = fold_corpus(seqs, retries=args.retries, dangles=args.dangles,
                       merge_timeout_ms=args.merge_timeout_ms)
+    # machine-readable fold wall (bench.py's process-scaling probe)
+    print(f"corpus-fold-seconds {time.time() - t0:.3f}", file=sys.stderr)
     if jax.process_index() == 0:
         json.dump([dataclasses.asdict(r) for r in res], open(args.out, "w"),
                   indent=1)

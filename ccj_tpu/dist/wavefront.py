@@ -8,13 +8,18 @@ every reduction local and turns the +-1/stencil shifts into neighbor halo
 exchanges, which XLA inserts as collective-permutes — the idiomatic
 TPU/ICI replacement for hand-written NCCL halos.
 
-HBM budget: the dominant state is ~29 int16 arrays of T*S*n2^2 bytes*2;
-at n=300 that is ~16.4 GB per array dense, so a single chip cannot hold it
-(the reference packs the 4-simplex 24x to fit 15.5 GB of host RAM).
-Sharding i over W chips divides each array by W: an 8-chip v5e slice holds
-n=300 with ~2 GB per array per chip plus halos.  Correctness of the
-sharded fill is asserted bit-for-bit against the unsharded one in
-tests/test_wavefront_shard.py on a virtual 8-device mesh.
+HBM budget (honest totals — round 3 quoted per-array numbers that were off
+by the ~29-array count): dense state is ~29 arrays x T*S*n2^2 * 2 B ≈
+29 * 16.3 GB ≈ 470 GB at n=300 — sharding the i axis over 8 chips leaves
+~59 GB/chip, still far beyond 16 GB HBM, so DENSE n=300 does not fit an
+8-chip v5e slice either.  The packed fill7 layout (engine/gapped5.py,
+~3-4x smaller, single-chip-verified at n=126) sharded 8 ways is the
+realistic n=300 configuration: ~0.2 * n^4 * 2 B * 29 / 8 ≈ 12 GB/chip —
+feasible but unproven on hardware; this module currently shards the DENSE
+v4 state and is exercised at small n.  Correctness of the sharded fill is
+asserted bit-for-bit against the unsharded one in
+tests/test_wavefront_shard.py on a virtual 8-device mesh, and the driver
+dry run prints the measured per-device bytes.
 """
 
 from __future__ import annotations
@@ -28,10 +33,13 @@ from ..engine.gapped4 import bucket_dims, init_big_state4
 
 
 def wave_sharding(mesh: Mesh, ndim: int):
-    """Partition the i (or l) axis — axis 2 of the 4-D layouts — over
-    ``wave``; 2-D triangle matrices stay replicated (they are O(n^2))."""
+    """Partition the i (or l) axis over ``wave``: axis 2 of the 4-D
+    layouts, axis 1 of the flat 3-D PKD buffer; 2-D triangle matrices stay
+    replicated (they are O(n^2))."""
     if ndim == 4:
         return NamedSharding(mesh, P(None, None, "wave", None))
+    if ndim == 3:
+        return NamedSharding(mesh, P(None, "wave", None))
     return NamedSharding(mesh, P(*([None] * ndim)))
 
 

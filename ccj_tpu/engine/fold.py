@@ -20,8 +20,11 @@ from .gapped import M4_NAMES, compute_P_WBP_WPP_span, gapped_step
 from .nested import compute_V_span, compute_WMv_WMp_WM_span
 
 
-def build_consts(tabs: SeqTables, P: ScaledParams, pk: PKPenalties):
-    """Device-constant dict consumed by the fill."""
+def build_consts(tabs: SeqTables, P: ScaledParams, pk: PKPenalties,
+                 device: bool = True):
+    """Device-constant dict consumed by the fill.  ``device=False`` returns
+    host arrays so callers that prune entries first (best_fill) avoid
+    uploading tables the fill never reads (EINTP alone is ~42 MB)."""
     C = {
         "n": tabs.n,
         "ptype": jnp.asarray(tabs.ptype),
@@ -50,6 +53,8 @@ def build_consts(tabs: SeqTables, P: ScaledParams, pk: PKPenalties):
     # ("Execution supplied N buffers but compiled program expected M");
     # committed inputs take the correct path and also avoid re-uploading
     # the tables on every call.
+    if not device:
+        return C
     return {k: (v if k == "n" else jax.device_put(v)) for k, v in C.items()}
 
 
@@ -77,21 +82,20 @@ def prune_consts(C, dangles: int, version: int = 3):
     comment above describes.
     """
     drop = (_ALL_DANGLE_KEYS - set(_DANGLE_KEYS[dangles])) | {"n"}
-    if version in (2, 3, 4, 5):
+    if version in (2, 3, 4, 5, 6):
         drop = drop | {"EINTP"}  # baked into the stencil consts host-side
     return {k: v for k, v in C.items() if k not in drop}
 
 
-def init_state(n: int):
+def init_state_2d(n: int):
+    """The 2-D triangle matrices only (shared by every engine version)."""
     n2 = n + 2
-    T = max(n - 1, 1)
-    S = max(n, 1)
     # jnp (not numpy) so the init lowers as ops rather than a captured
     # constant: trace-time numpy constants become extra executable
     # parameters under JAX 0.9 (see the config note in ccj_tpu/__init__.py)
     ii = jnp.arange(n2)[:, None]
     jj = jnp.arange(n2)[None, :]
-    st = {
+    return {
         # V getter semantics baked in: INF on i>=j, nodes default elsewhere
         "V": jnp.where(ii < jj, V_UNSET, INF).astype(jnp.int32),
         "Vtype": jnp.zeros((n2, n2), dtype=jnp.int8),
@@ -102,6 +106,13 @@ def init_state(n: int):
         "WBP": jnp.full((n2, n2), TRI_UNSET, dtype=jnp.int32),
         "WPP": jnp.full((n2, n2), TRI_UNSET, dtype=jnp.int32),
     }
+
+
+def init_state(n: int):
+    st = init_state_2d(n)
+    n2 = n + 2
+    T = max(n - 1, 1)
+    S = max(n, 1)
     for name in M4_NAMES:
         st[name] = jnp.full((T, S, n2, n2), SAT16, dtype=jnp.int16)
     return st
@@ -383,23 +394,119 @@ def fill5(C, SC4, n: int, dangles: int):
     return jax.lax.fori_loop(0, n, span_body, st)
 
 
-def best_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties, version: int = 4):
+@functools.partial(jax.jit, static_argnames=("n", "dangles"))
+def fill6(C, SC4, n: int, dangles: int):
+    """Whole v4 fill as ONE executable / ONE dispatch.
+
+    The span loop is split at the static bucket boundaries: a python-level
+    loop over ``bucket_segments(n)`` emits one fori_loop per (TB, IB)
+    bucket, so every span body has static shapes and the state threads
+    through XLA's loop-carry aliasing with no copies — and, unlike fill5,
+    with no lax.switch around the carried O(n^4) state (which made XLA
+    duplicate the whole dict per span).
+
+    One dispatch matters beyond launch overhead amortization: the first
+    device->host transfer of a process drops the accelerator-tunnel runtime
+    into a mode where EVERY subsequent dispatch costs tens of ms (measured
+    ~30-85 ms flat, sticky for the process lifetime).  A per-span host loop
+    (fill4) therefore runs ~300x slower than device speed after any fold
+    has read results back; a single dispatch pays that penalty once.
+    """
+    from .gapped import compute_WBP_WPP_span
+    from .gapped3 import compute_P_span3
+    from .gapped4 import init_big_state4, span_gapped4
+
+    C = {**C, "n": n}
+    st = init_state(n)
+    st.update(init_big_state4(n))
+
+    for (TB, IB), lo, hi in bucket_segments(n):
+        def body(s, st, TB=TB, IB=IB, hi=hi):
+            st = compute_V_span(C, st, s, dangles)
+            st = compute_P_span3(C, st, s, s_cap=hi)
+            st = compute_WBP_WPP_span(C, st, s)
+            st = span_gapped4(C, SC4, st, s, TB, IB)
+            return compute_WMv_WMp_WM_span(C, st, s, dangles)
+
+        st = jax.lax.fori_loop(lo, hi, body, st)
+    return st
+
+
+@functools.partial(jax.jit, static_argnames=("n", "dangles", "SEGS"))
+def fill7(C, SC4, n: int, dangles: int, SEGS):
+    """Segment-packed whole fill, ONE dispatch (the long-sequence engine).
+
+    Same single-dispatch structure as fill6, but the O(n^4) state is
+    stored per span segment with exact extents (engine/gapped5.py), which
+    cuts HBM by ~4-6x and restores the reference's length reach (n=150
+    fits one 16 GB chip; dense capped out at n~110).
+    """
+    from .gapped import compute_WBP_WPP_span
+    from .gapped5 import compute_P_span7, init_big_state7, span_gapped7
+
+    C = {**C, "n": n}
+    st = init_state_2d(n)
+    st.update(init_big_state7(n, SEGS))
+
+    for gi, (lo, hi, TBg, IBg, _Lc) in enumerate(SEGS):
+        def body(s, st, gi=gi, hi=hi):
+            st = compute_V_span(C, st, s, dangles)
+            st = compute_P_span7(C, st, s, SEGS, s_cap=hi)
+            st = compute_WBP_WPP_span(C, st, s)
+            st = span_gapped7(C, SC4, st, s, gi, SEGS)
+            return compute_WMv_WMp_WM_span(C, st, s, dangles)
+
+        st = jax.lax.fori_loop(lo, hi, body, st)
+    return st
+
+
+# Largest n whose dense [T, S, n2, n2] state (~29 arrays) fits one 16 GB
+# chip with working room; beyond it best_fill switches to the packed fill7.
+DENSE_MAX_N = 110
+
+
+def default_version(n: int | None = None) -> int:
+    """Engine selection: CCJ_ENGINE overrides; default is the single-
+    dispatch fill6, or the packed fill7 beyond the dense HBM reach."""
+    import os
+
+    v = os.environ.get("CCJ_ENGINE")
+    if v is not None:
+        return int(v)
+    if n is not None and n > DENSE_MAX_N:
+        return 7
+    return 6
+
+
+def best_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties,
+              version: int | None = None):
     """Return a zero-arg callable running the requested device fill.
 
     Consts are built once and kept on device; each call re-runs the jitted
     fill and returns the state dict (device arrays).
     """
-    if version not in (1, 2, 3, 4, 5):
+    if version is None:
+        version = default_version(tabs.n)
+    if version not in (1, 2, 3, 4, 5, 6, 7):
         raise ValueError(
-            f"unknown fill version {version!r} (expected 1..5)")
-    C = build_consts(tabs, P, pk)
-    if version in (4, 5):
+            f"unknown fill version {version!r} (expected 1..7)")
+    if version in (4, 5, 6, 7):
         import os
 
         from .gapped4 import build_sc4
 
         SC4 = build_sc4(tabs)
-        Cp = prune_consts(C, P.dangles, version)
+        # prune on host, upload only what the fill reads
+        Cp = prune_consts(build_consts(tabs, P, pk, device=False),
+                          P.dangles, min(version, 6))
+        Cp = {k: jax.device_put(jnp.asarray(v)) for k, v in Cp.items()}
+        if version == 7:
+            from .gapped5 import segments7
+
+            SEGS = segments7(tabs.n)
+            return lambda: fill7(Cp, SC4, tabs.n, P.dangles, SEGS)
+        if version == 6:
+            return lambda: fill6(Cp, SC4, tabs.n, P.dangles)
         if version == 5:
             return lambda: fill5(Cp, SC4, tabs.n, P.dangles)
         on_span = None
@@ -413,6 +520,7 @@ def best_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties, version: int = 
         return lambda: fill4(Cp, SC4, tabs.n, P.dangles,
                              checkpoint_dir=ckpt, on_span=on_span,
                              digest=dig)
+    C = build_consts(tabs, P, pk)
     if version in (2, 3):
         from .gapped2 import build_stencil_consts
 
@@ -424,7 +532,8 @@ def best_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties, version: int = 
     return lambda: fill(Cp, tabs.n, P.dangles)
 
 
-def run_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties, version: int = 4):
+def run_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties,
+             version: int | None = None):
     """Run the device fill and return all matrices as host numpy arrays."""
     st = best_fill(tabs, P, pk, version)()
     return {k: np.asarray(v) for k, v in st.items()}

@@ -54,6 +54,10 @@ def init_big_state3(n):
     # diagonal-skewed PK copies for the O(n^5) P contraction (compute_P):
     #   PKD[tt, s, i, a] = PK[tt, s, i, i+a]
     #   PKE[tt, m, i, a] = PKD[tt, m+tt, i, a]   (m = span - tt)
+    # (A single flat buffer with PKD/PKE as two reshape-stride views was
+    # tried in r4 and reverted: XLA's layout assignment materialized the
+    # views per P-lane at ~1.5 ms each, 6x slower than carrying the PKE
+    # copy.  The packed large-n engine re-addresses PKE's footprint.)
     st["PKD"] = jnp.full((T, S, n2, n2), SAT16, dtype=jnp.int16)
     st["PKE"] = jnp.full((T, S + T + 2, n2, n2), SAT16, dtype=jnp.int16)
     return st
@@ -62,7 +66,7 @@ def init_big_state3(n):
 CH_A = 8   # j-offset (a = j-i) lanes handled per compute_P step
 
 
-def compute_P_span3(C, st, s):
+def compute_P_span3(C, st, s, s_cap=None):
     """P(i, i+s) = min over j<d<k of PK(i,j,d+1,k) + PK(j+1,d,k+1,l)
     (pseudo_loop.cc:166-179), as slice reductions over the skewed layouts.
 
@@ -70,6 +74,10 @@ def compute_P_span3(C, st, s):
       factor1 = PK(i, i+a, d+1, k)   = PKE[b-1, a+c+1, i, a]
       factor2 = PK(j+1, d, k+1, i+s) = PKD[c-1, s-a-1, i+a+1, b-1]
     so for fixed a both factors are dynamic slices: no 4-D gathers.
+
+    The a lanes run in a chunked fori_loop; ``s_cap`` (default n) only
+    bounds nothing here but is accepted so span-bucketed callers share one
+    signature with future packed engines.
     """
     n = C["n"]
     n2, T, S, U = dims(n)

@@ -33,6 +33,8 @@ carries the per-branch src/pseudo_loop.cc citations.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -59,13 +61,6 @@ B4_MATS = ("PK", "PLmloop00", "PLmloop10", "PMmloop00", "PfromL",
 PADT4 = 32  # STM row padding beyond TB (the PM stencil reads tt + 2*DS)
 _BUCKETS = (16, 32, 64, 128, 256, 512)
 
-# CCJ_PALLAS=1 routes the serial loop's k-shrink suffix reductions through
-# the Pallas VPU kernel (engine/pallas_ops.py); "interpret" runs the same
-# kernel in interpreter mode (used by tests on CPU).  Off by default — the
-# XLA formulation is the oracle-tested reference path.
-import os as _os
-
-_USE_PALLAS = _os.environ.get("CCJ_PALLAS", "")
 
 
 def bucket_dims(n: int, s: int):
@@ -78,6 +73,109 @@ def bucket_dims(n: int, s: int):
     return TB, IB
 
 
+def _shift_window(x, DSZ, row_sign, col_sign, fill):
+    """[DS, DS, A, B] windows W[d1-1, d2-1, a, b] = x[a + row_sign*d1,
+    b + col_sign*d2] (out-of-range -> fill), built from static pad+slice
+    pairs — no gathers (a [DS, DS, n2, n2] device gather costs ~100x a
+    slice on TPU)."""
+    A, B = x.shape
+    rows = []
+    xpr = jnp.pad(x, ((DSZ + 1, DSZ + 1), (0, 0)), constant_values=fill)
+    for d1 in range(1, DSZ + 1):
+        off = DSZ + 1 + row_sign * d1
+        rows.append(jax.lax.slice(xpr, (off, 0), (off + A, B)))
+    R = jnp.stack(rows)                                  # [DS, A, B]
+    xpc = jnp.pad(R, ((0, 0), (0, 0), (DSZ + 1, DSZ + 1)),
+                  constant_values=fill)
+    cols = []
+    for d2 in range(1, DSZ + 1):
+        off = DSZ + 1 + col_sign * d2
+        cols.append(jax.lax.slice(xpc, (0, 0, off), (DSZ, A, off + B)))
+    return jnp.stack(cols, axis=1)                       # [DS, DS, A, B]
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _sc4_device(EINTP, canp, n: int):
+    """W4PL / W4PR built on device (they are the two largest per-sequence
+    tables, ~270 MB at n=100; host-building and uploading them dominated
+    per-fold setup)."""
+    n2, T, S, U = dims(n)
+    d1 = jnp.arange(1, DS + 1)[:, None, None, None]
+    d2 = jnp.arange(1, DS + 1)[None, :, None, None]
+
+    iv = jnp.arange(n2)[None, None, :, None]
+    jv = jnp.arange(n2)[None, None, None, :]
+    sj = jv - iv
+    canL = _shift_window(canp, DS, +1, -1, False)
+    okL = (
+        (d1 <= jnp.minimum(sj, MAXLOOP) - 1)
+        & (d2 <= MAXLOOP - 1)
+        & (d1 + d2 <= sj - TURN - 1)
+        & (iv + d1 <= n2 - 1) & (jv - d2 >= 0)
+        & canL
+    )
+    W4PL = jnp.where(okL, EINTP[1:DS + 1, 1:DS + 1], NP_INF)
+
+    KP = n2 + T + 2          # k axis, accessed at k = u + 2, u < n2 + TB
+    LP = 2 * n2              # l axis, accessed at l = i + s
+    kv = jnp.arange(KP)[None, None, :, None]
+    lv = jnp.arange(LP)[None, None, None, :]
+    G = lv - kv
+    canp_kl = jnp.pad(canp, ((0, KP - n2), (0, LP - n2)))
+    canR = _shift_window(canp_kl, DS, +1, -1, False)
+    # every okR-valid (k, l) lies inside [0, n2): pad the energy table with
+    # anything (INF) — masked cells never select it
+    eR = jnp.pad(EINTP[1:DS + 1, 1:DS + 1],
+                 ((0, 0), (0, 0), (0, KP - n2), (0, LP - n2)),
+                 constant_values=NP_INF)
+    okR = (
+        (d1 <= jnp.minimum(G, MAXLOOP) - 1)
+        & (d2 <= MAXLOOP - 1)
+        & (d1 + d2 <= G - TURN - 1)
+        & (kv + d1 <= n) & (lv - d2 >= 1) & (lv <= n)
+        & canR
+    )
+    W4PR = jnp.where(okR, eR, NP_INF)
+
+    # ---- DPM[d1, d2, tt, u] = EINTP[d1, d2, u-tt-d1, u+2+d2] masked ------
+    # (gapped2.build_stencil_consts semantics).  The j index u-tt-d1 is a
+    # (tt, u) anti-diagonal: handled with the pad-and-reshape skew
+    # (engine/skew.py) per d1 — data movement only, no device gathers.
+    from .skew import unskew_right
+
+    ttm = jnp.arange(T)[:, None]
+    um = jnp.arange(U)[None, :]
+    kcol = jnp.arange(n2)[None, :]
+    dpm_d1 = []
+    for d1i in range(1, DS + 1):
+        d2rows = []
+        for d2i in range(1, DS + 1):
+            # B[j, k] = masked EINTP[d1, d2, j, k] with the j/k-level
+            # bounds folded in: j >= 1 (jc >= 1), k <= n (kc <= n), canp
+            B = jnp.where(
+                canp & (jnp.arange(n2)[:, None] >= 1) & (kcol <= n),
+                EINTP[d1i, d2i], NP_INF)
+            # shift cols: C[j, u] = B[j, u + 2 + d2]
+            Cp = jnp.pad(B, ((0, 0), (0, U + DS + 3)),
+                         constant_values=NP_INF)
+            Cj = jax.lax.slice(Cp, (0, 2 + d2i), (n2, 2 + d2i + U))
+            d2rows.append(Cj)
+        Cd = jnp.stack(d2rows)                    # [DS, j, u]
+        # rows: out[d2, tt, u] = Cd[d2, u - tt - d1, u]
+        Mt = jnp.swapaxes(Cd, 1, 2)               # [DS, u, j]
+        K = d1i + T - 1
+        P1 = jnp.pad(Mt, ((0, 0), (0, 0), (K, 0)), constant_values=NP_INF)
+        # V[d2, u, tt'] = P1[d2, u, u + tt'] with tt' = T-1-tt
+        V = unskew_right(P1, NP_INF, T)
+        out = jnp.flip(jnp.swapaxes(V, 1, 2), axis=1)  # [DS, tt, u]
+        dpm_d1.append(out)
+    DPM = jnp.stack(dpm_d1)                       # [DS, DS, tt, u]
+    okU = ((um - ttm >= 1) & (um - ttm <= n2 - 1)
+           & (um + 2 <= n2 - 1))[None, None]
+    DPM = jnp.where(okU, DPM, NP_INF)
+    return W4PL, W4PR, DPM
+
+
 def build_sc4(tabs, pk=None):
     """Static per-sequence weight tables for the v4 engine.
 
@@ -86,66 +184,15 @@ def build_sc4(tabs, pk=None):
     pairability).  W4PR[d1, d2, k, l]: the PR analogue
     (pseudo_loop.cc:729-734) on padded (k, l) axes so the u- and l-windows
     slice without clamping.  DPM[d1, d2, tt, u]: the PM stencil weight of
-    gapped2.build_stencil_consts, reproduced here so v4 needs one dict.
+    gapped2.build_stencil_consts.  All three are built ON DEVICE from the
+    (much smaller) EINTP table — host-building and uploading ~300 MB per
+    sequence dominated per-fold setup.
     """
     n = tabs.n
-    n2, T, S, U = dims(n)
     EINTP = np.asarray(tabs.EINTP).astype(np.int32)
     canp = np.asarray(tabs.can_pair)
-
-    d1 = np.arange(1, DS + 1)[:, None, None, None]
-    d2 = np.arange(1, DS + 1)[None, :, None, None]
-
-    iv = np.arange(n2)[None, None, :, None]
-    jv = np.arange(n2)[None, None, None, :]
-    sj = jv - iv
-    okL = (
-        (d1 <= np.minimum(sj, MAXLOOP) - 1)
-        & (d2 <= MAXLOOP - 1)
-        & (d1 + d2 <= sj - TURN - 1)
-        & (iv + d1 <= n2 - 1) & (jv - d2 >= 0)
-        & canp[np.clip(iv + d1, 0, n2 - 1), np.clip(jv - d2, 0, n2 - 1)]
-    )
-    W4PL = np.where(okL, EINTP[1:DS + 1, 1:DS + 1], NP_INF).astype(np.int32)
-
-    KP = n2 + T + 2          # k axis, accessed at k = u + 2, u < n2 + TB
-    LP = 2 * n2              # l axis, accessed at l = i + s
-    kv = np.arange(KP)[None, None, :, None]
-    lv = np.arange(LP)[None, None, None, :]
-    G = lv - kv
-    okR = (
-        (d1 <= np.minimum(G, MAXLOOP) - 1)
-        & (d2 <= MAXLOOP - 1)
-        & (d1 + d2 <= G - TURN - 1)
-        & (kv + d1 <= n) & (lv - d2 >= 1) & (lv <= n)
-        & canp[np.clip(kv + d1, 0, n2 - 1), np.clip(lv - d2, 0, n2 - 1)]
-    )
-    eR = EINTP[
-        np.broadcast_to(d1, okR.shape), np.broadcast_to(d2, okR.shape),
-        np.clip(kv, 0, n2 - 1), np.clip(lv, 0, n2 - 1),
-    ]
-    W4PR = np.where(okR, eR, NP_INF).astype(np.int32)
-
-    # PM stencil weight (same construction as gapped2.build_stencil_consts)
-    ttv = np.arange(T)[None, None, :, None]
-    uv = np.arange(U)[None, None, None, :]
-    jpm = uv - ttv
-    kpm = uv + 2
-    okM = (
-        (jpm - d1 >= 1) & (jpm >= 1) & (jpm <= n2 - 1)
-        & (kpm + d2 <= n) & (kpm <= n2 - 1)
-    )
-    jc = np.clip(jpm - d1, 0, n2 - 1)
-    kc = np.clip(kpm + d2, 0, n2 - 1)
-    vals = EINTP[np.broadcast_to(d1, okM.shape),
-                 np.broadcast_to(d2, okM.shape), jc, kc]
-    DPM = np.where(okM & canp[jc, kc], vals, NP_INF).astype(np.int32)
-
-    return jax.device_put({
-        "W4PL": jnp.asarray(W4PL),
-        "W4PR": jnp.asarray(W4PR),
-        "DPM": jnp.asarray(DPM),
-    })
+    W4PL, W4PR, DPM = _sc4_device(jnp.asarray(EINTP), jnp.asarray(canp), n)
+    return {"W4PL": W4PL, "W4PR": W4PR, "DPM": DPM}
 
 
 def init_big_state4(n):
@@ -398,15 +445,51 @@ def span_gapped4(C, SC4, st, s, TB, IB):
     basePfromR = RL("PfromR", WPt, 1)
 
     # ---- serial loop over tt (descending) --------------------------------
-    tp1 = jnp.arange(TB)[:, None, None]                  # t' (reduced axis)
-    uu3 = jnp.arange(UB)[None, None, :]
-    Mj1 = tp1 <= uu3 - jnp.arange(IB)[None, :, None] - 1  # d <= sj-1 (u-sp.)
-    Mk1 = (tp1 + jv) - iv <= s - 3                        # d <= G-1
+    # Every candidate scan is reformulated in (q = d-1, i, j) coordinates so
+    # that ALL table lookups hoist out of the loop as per-span skew tables
+    # and each in-loop reduction is one contiguous dynamic slice + add +
+    # masked min.  The v4 formulation gathered its WB/WP weight planes from
+    # the 2-D triangle matrices at every tt step ([TB, UB] gathers cost
+    # ~150us each on TPU and dominated the whole fill; profiled r4).
+    #
+    #   k-shrink candidates (A-layout slab): slab[tt+1+q, i, j] with weight
+    #     X(k, k+d-1) = X(a, a+q) at a = j+tt+2  -> WKX[nm][q, a],
+    #     sliced per step at column offset tt+2;
+    #   j-shrink candidates (B/u-layout slab): B[tt+1+q, i, j+tt] (i.e. the
+    #     j-shrunk value) with weight X(j-d+1, j) = X(j-q, j) ->
+    #     WJX[nm][q, j], tt-free.
+    qv = jnp.arange(TB)[:, None, None]                    # q = d - 1
+    ii1 = jnp.arange(IB)[None, :, None]
+    jj1 = jnp.arange(n2)[None, None, :]
+    UK = n2 + TB + 1
+    qq = jnp.arange(TB)[:, None]
+    aa = jnp.arange(UK)[None, :]
+    jrow = jnp.arange(n2)[None, :]
+    ttq = jnp.arange(TB)[:, None]
 
-    validp = _pad(valid4, 0, 0, 2, False)
+    def g2b(X, a, b):
+        ok = (a >= 0) & (a < n2) & (b >= 0) & (b < n2)
+        v = X[jnp.clip(a, 0, n2 - 1), jnp.clip(b, 0, n2 - 1)]
+        return jnp.where(ok, v, INF)
+
+    WKX = {nm: g2b(X, jnp.broadcast_to(aa, (TB, UK)), aa + qq)
+           for nm, X in (("WP", WPt), ("WB", WBt), ("WBP", WBPg))}
+    WJX = {nm: g2b(X, jrow - qq, jnp.broadcast_to(jrow, (TB, n2)))
+           for nm, X in (("WP", WPt), ("WB", WBt), ("WBP", WBPg))}
+    # per-tt diagonal rows of the pairing / stack tables (k = j + tt + 2)
+    CJK = g2b(canp, jnp.broadcast_to(jrow, (TB, n2)), jrow + ttq + 2)
+    PJK = g2b(pt, jnp.broadcast_to(jrow, (TB, n2)), jrow + ttq + 2)
+    EJK = g2b(ESTP, jnp.broadcast_to(jrow - 1, (TB, n2)), jrow + ttq + 3)
+
+    # A-layout / B-layout slabs carry TB pad rows beyond the live range so
+    # the q-window slice [tt+1, tt+1+TB) never clamps; pad rows hold INF and
+    # can only lose (INF + weight <= 2e7 << int32 max, and every consumer
+    # clamps through enc()/pack() exactly as the reference's int16 store).
+    validp = _pad(valid4, 0, 0, TB + 2, False)
     PLpad = _pad(PLs, 0, 0, 2, NP_INF)
     PRpad = _pad(PRs, 0, 0, 2, NP_INF)
-    mdp = jnp.minimum(PLs, PRs) + PB                      # PfromMdoubleprime
+    mdp = _pad(jnp.minimum(PLs, PRs) + PB, 0, 0, TB + 2,
+               NP_INF)                                    # PfromMdoubleprime
 
     def to_u(plane, tt):
         return jax.lax.dynamic_update_slice(
@@ -415,7 +498,7 @@ def span_gapped4(C, SC4, st, s, TB, IB):
     cur = {name: jnp.where(validp, jnp.int32(SAT16), NP_INF)
            for name in LOOP_MATS}
     for name in B4_MATS:
-        cur["B_" + name] = jnp.full((TB + 2, IB, UB), NP_INF, jnp.int32)
+        cur["B_" + name] = jnp.full((2 * TB + 2, IB, UB), NP_INF, jnp.int32)
     cur["STM"] = jnp.full((TB + 2 * PADT4, IB, UB), NP_INF, jnp.int32)
 
     jr = jv[0]                                            # [1, n2]
@@ -426,35 +509,23 @@ def span_gapped4(C, SC4, st, s, TB, IB):
     def t_body(m, cur):
         tt = s - 2 - m
 
-        kk2 = jr + tt + 2
-        wk = {nm: g2(X, jnp.broadcast_to(kk2, (TB, n2)),
-                     kk2 + (tp1[:, :, 0] - tt) - 1)
-              for nm, X in (("WPk", WPt), ("WBk", WBt), ("WBPk", WBPg))}
-        uu2 = jnp.arange(UB)[None, :]
-        wj = {nm: g2(X, uu2 - tp1[:, :, 0] + 1,
-                     jnp.broadcast_to(uu2 - tt, (TB, UB)))
-              for nm, X in (("WPj", WPt), ("WBj", WBt), ("WBPj", WBPg))}
-        row_ok = tp1 > tt
+        wk = {nm: jax.lax.dynamic_slice(W, (0, tt + 2), (TB, n2))
+              for nm, W in WKX.items()}
 
         def red_k(slab, w, k1):
-            if _USE_PALLAS:
-                from .pallas_ops import minplus_suffix
-
-                # fold the k1 bound (tp + j - i <= s - 3) into... it varies
-                # with i, so only the i-free masks fold into w; apply Mk1 by
-                # pre-masking the slab copy instead.
-                sl = jnp.where(Mk1, slab[:TB], INF) if k1 else slab[:TB]
-                return minplus_suffix(sl, w, tt,
-                                      interpret=_USE_PALLAS == "interpret")
-            mask = row_ok & Mk1 if k1 else row_ok
-            return jnp.min(jnp.where(mask, slab[:TB] + w[:, None, :], INF),
-                           axis=0)
+            rows = jax.lax.dynamic_slice(slab, (tt + 1, 0, 0), (TB, IB, n2))
+            vals = rows + w[:, None, :]
+            if k1:  # d <= G - 1, i.e. q <= s - 4 - tt - (j - i)
+                vals = jnp.where(qv <= (s - 4 - tt) - jj1 + ii1, vals, INF)
+            return jnp.min(vals, axis=0)
 
         def red_j(slabB, w, j1):
-            mask = row_ok & Mj1 if j1 else row_ok
-            r_u = jnp.min(jnp.where(mask, slabB[:TB] + w[:, None, :], INF),
-                          axis=0)
-            return jax.lax.dynamic_slice(r_u, (0, tt), (IB, n2))
+            rows = jax.lax.dynamic_slice(slabB, (tt + 1, 0, tt),
+                                         (TB, IB, n2))
+            vals = rows + w[:, None, :]
+            if j1:  # d <= (j - i) - 1, i.e. q <= j - i - 2
+                vals = jnp.where(qv <= jj1 - ii1 - 2, vals, INF)
+            return jnp.min(vals, axis=0)
 
         def plane_cur(slab, c, dj):
             sl = jax.lax.dynamic_slice(slab, (tt + c, 0, 0), (1, IB, n2))[0]
@@ -467,19 +538,19 @@ def span_gapped4(C, SC4, st, s, TB, IB):
 
         out = {}
         out["PLmloop00"] = mmin(SAT16 + bp, base_at(basePLm00),
-                                red_j(cur["B_PLmloop00"], wj["WBj"], False))
-        out["PLmloop01"] = red_j(cur["B_PLmloop00"], wj["WBPj"], False)
+                                red_j(cur["B_PLmloop00"], WJX["WB"], False))
+        out["PLmloop01"] = red_j(cur["B_PLmloop00"], WJX["WBP"], False)
         out["PLmloop10"] = jnp.minimum(
-            base_at(basePLm10), red_j(cur["B_PLmloop10"], wj["WBj"], True))
+            base_at(basePLm10), red_j(cur["B_PLmloop10"], WJX["WB"], True))
         out["PRmloop00"] = mmin(SAT16 + bp, base_at(basePRm00),
-                                red_k(cur["PRmloop00"], wk["WBk"], False))
+                                red_k(cur["PRmloop00"], wk["WB"], False))
         out["PRmloop10"] = jnp.minimum(
             plane_cur(cur["PRmloop10"], 1, 0) + cp,
-            red_k(cur["PRmloop00"], wk["WBPk"], False))
+            red_k(cur["PRmloop00"], wk["WBP"], False))
         out["PMmloop00"] = mmin(
             SAT16 + bp,
-            red_j(cur["B_PMmloop00"], wj["WBj"], False),
-            red_k(cur["PMmloop00"], wk["WBk"], False))
+            red_j(cur["B_PMmloop00"], WJX["WB"], False),
+            red_k(cur["PMmloop00"], wk["WB"], False))
         out["PMmloop01"] = jnp.minimum(
             plane_cur(cur["PMmloop01"], 1, 0) + cp, base_at(basePMm01))
         out["PMmloop10"] = jnp.minimum(
@@ -502,9 +573,9 @@ def span_gapped4(C, SC4, st, s, TB, IB):
             pm_acc = jnp.minimum(pm_acc, jnp.min(valsm, axis=0))
         pm_int = jax.lax.dynamic_slice(pm_acc, (0, tt), (IB, n2))
 
-        canp_jk = g2(canp, jr[None], jr[None] + tt + 2)[0]
-        pt_jk = g2(pt, jr[None], jr[None] + tt + 2)[0]
-        estp_jk = g2(ESTP, jr[None] - 1, jr[None] + tt + 3)[0]
+        canp_jk = jax.lax.dynamic_slice(CJK, (tt, 0), (1, n2))
+        pt_jk = jax.lax.dynamic_slice(PJK, (tt, 0), (1, n2))
+        estp_jk = jax.lax.dynamic_slice(EJK, (tt, 0), (1, n2))
         pm_stack = plane_cur(cur["PM"], 2, -1) + estp_jk
         PMiloop = jnp.where(canp_jk > 0, jnp.minimum(pm_stack, pm_int), INF)
         PMmloop_v = jnp.minimum(plane_cur(cur["PMmloop10"], 2, -1),
@@ -523,17 +594,17 @@ def span_gapped4(C, SC4, st, s, TB, IB):
 
         out["PfromL"] = mmin(
             base_at(basePfromL),
-            red_j(cur["B_PfromL"], wj["WPj"], True),
+            red_j(cur["B_PfromL"], WJX["WP"], True),
             PRs_t + PB, PMs_t + PB, POs_t + PB)
         out["PfromR"] = mmin(
             base_at(basePfromR),
-            red_k(cur["PfromR"], wk["WPk"], True),
+            red_k(cur["PfromR"], wk["WP"], True),
             PMs_t + PB, POs_t + PB)
-        out["PfromM"] = red_j(cur["B_PfromMprime"], wj["WPj"], True)
-        out["PfromMprime"] = red_k(mdp, wk["WPk"], True)
+        out["PfromM"] = red_j(cur["B_PfromMprime"], WJX["WP"], True)
+        out["PfromMprime"] = red_k(mdp, wk["WP"], True)
         out["PK"] = mmin(
-            red_j(cur["B_PK"], wj["WPj"], True),
-            red_k(cur["PK"], wk["WPk"], True),
+            red_j(cur["B_PK"], WJX["WP"], True),
+            red_k(cur["PK"], wk["WP"], True),
             PLs_t + PB, PMs_t + PB, PRs_t + PB, POs_t + PB)
 
         new_cur = dict(cur)

@@ -1,0 +1,155 @@
+"""Lazy device->host matrix access for the traceback.
+
+The traceback (engine/traceback.py) re-derives argmins the way the
+reference's stack machine does (reference: src/W_final.cc:175-719,
+src/pseudo_loop.cc:861-2820), touching O(n) cells across O(n) spans — a
+vanishing fraction of the O(n^4) DP state.  Pulling the whole state to the
+host first (round 3's run_fill) moved ~6 GB at n=100 over a ~20 MB/s
+accelerator tunnel; this wrapper instead fetches one (family, span) slab
+[T, n2, n2] (2 MB at n=100) on first touch and caches it, cutting
+host-ward traffic by ~2 orders of magnitude (tests/test_lazy.py asserts
+the bound).
+
+The P-split case (pseudo_loop.cc:867-897) is the one access that scans
+PK over O(n) spans at once; it runs on device instead
+(:func:`case_p_argmin`), returning just the three split indices.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params.io_par import INF
+
+_TWOD = ("V", "Vtype", "WM", "WMv", "WMp", "P2", "WBP", "WPP")
+
+
+SAT16 = 32767
+
+
+class LazyFamily:
+    """Scalar-indexable view of one 4-D family held on device."""
+
+    def __init__(self, mats: "LazyMats", name: str):
+        self._mats = mats
+        self._name = name
+
+    def __getitem__(self, idx):
+        tt, ss, i, j = idx
+        slab = self._mats._slab(self._name, int(ss))
+        tt, i, j = int(tt), int(i), int(j)
+        if tt >= slab.shape[0] or i >= slab.shape[1] or j >= slab.shape[2]:
+            # beyond the packed extents = never-written valid coordinates,
+            # which the dense layout (and the reference's Matrix4D) hold at
+            # the int16 unset value
+            return SAT16
+        return slab[tt, i, j]
+
+
+class LazyMats:
+    """Mapping from matrix name to host data, fetched lazily per slab.
+
+    2-D triangle matrices are fetched eagerly (they are KB-sized and the
+    exterior-W pass reads them densely); 4-D families come over as
+    per-span slabs on first touch.  ``bytes_fetched`` tracks total
+    host-ward traffic for observability (CCJ_TRANSFER_STATS=1 prints it).
+    """
+
+    def __init__(self, st_device, n: int, segs=None):
+        """``segs``: segment schedule when the state is the packed fill7
+        layout (family keys "name@g"); None for the dense layouts."""
+        self._dev = st_device
+        self.n = n
+        self._segs = segs
+        self._slabs: dict = {}
+        self._eager: dict = {}
+        self.bytes_fetched = 0
+        self.slab_fetches = 0
+        for k in _TWOD:
+            arr = np.asarray(st_device[k])
+            self._eager[k] = arr
+            self.bytes_fetched += arr.nbytes
+
+    def __getitem__(self, name):
+        if name in self._eager:
+            return self._eager[name]
+        return LazyFamily(self, name)
+
+    def __contains__(self, name):
+        return (name in self._eager or name in self._dev
+                or (self._segs is not None and f"{name}@0" in self._dev))
+
+    def _slab(self, name: str, ss: int):
+        key = (name, ss)
+        slab = self._slabs.get(key)
+        if slab is None:
+            if self._segs is None:
+                slab = np.asarray(_fetch_span(self._dev[name], ss))[:, 0]
+            else:
+                g = next(gi for gi, (lo, hi, *_r) in enumerate(self._segs)
+                         if lo <= ss < hi)
+                lo = self._segs[g][0]
+                slab = np.asarray(
+                    _fetch_span(self._dev[f"{name}@{g}"], ss - lo))[:, 0]
+            self._slabs[key] = slab
+            self.bytes_fetched += slab.nbytes
+            self.slab_fetches += 1
+        return slab
+
+    # ---- device-side P split (see module docstring) ----------------------
+    def case_p_argmin(self, i: int, l: int):
+        """argmin over the (j, d, k) cube of PK(i,j,d+1,k)+PK(j+1,d,k+1,l)
+        in C (lexicographic) order — matching the reference's sequential
+        strict-< scan (pseudo_loop.cc:867-897) and the numpy path in
+        traceback.case_p."""
+        flat, v = _case_p_device(self._dev["PKD"], i, l, self.n)
+        flat, v = int(flat), int(v)
+        self.bytes_fetched += 16
+        if v >= INF:
+            return 0, 0, 0, v
+        oj, rem = divmod(flat, (self.n + 1) * (self.n + 1))
+        od, ok_ = divmod(rem, self.n + 1)
+        return i + oj, i + od, i + ok_, v
+
+
+@jax.jit
+def _fetch_span(M, ss):
+    T, S, n2 = M.shape[0], M.shape[1], M.shape[2]
+    return jax.lax.dynamic_slice(M, (0, ss, 0, 0), (T, 1, n2, M.shape[3]))
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _case_p_device(PKD, i, l, n: int):
+    """Masked (j, d, k) cube argmin, padded to the static [n+1]^3 shape so
+    one executable serves every (i, l).  Reads the PKD diagonal layout
+    (PKD[tt, span, i, a=j-i] = PK[tt, span, i, j]), which is dense in both
+    the dense and the packed (fill7) engines."""
+    m = l - i
+    P = n + 1
+    oj = jnp.arange(P)[:, None, None]
+    od = jnp.arange(P)[None, :, None]
+    ok = jnp.arange(P)[None, None, :]
+    jj = i + oj
+    dd = i + od
+    kk = i + ok
+
+    T, S = PKD.shape[0], PKD.shape[1]
+
+    def g4v(i_, j_, k_, l_):
+        valid = (i_ <= j_) & (j_ < k_ - 1) & (k_ <= l_)
+        tt = jnp.clip(k_ - j_ - 2, 0, T - 1)
+        ss = jnp.clip(l_ - i_, 0, S - 1)
+        v = PKD[tt, ss,
+                jnp.clip(i_, 0, PKD.shape[2] - 1),
+                jnp.clip(j_ - i_, 0, PKD.shape[3] - 1)].astype(jnp.int32)
+        return jnp.where(valid, v, INF)
+
+    vals = g4v(i, jj, dd + 1, kk) + g4v(jj + 1, dd, kk + 1, l)
+    inside = (oj < m) & (od < m) & (ok < m) & (dd >= jj + 1) & (kk >= dd + 1)
+    vals = jnp.where(inside, vals, jnp.int32(INF) * 4)
+    flat = jnp.argmin(vals.reshape(-1))
+    return flat, vals.reshape(-1)[flat]

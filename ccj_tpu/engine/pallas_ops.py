@@ -8,8 +8,14 @@ and recomputes the broadcast per lane; the Pallas kernel streams the slab
 through VMEM in (i, j)-tiles with the weight row resident, which is the
 shape the VPU wants (8x128 lanes along j).
 
-Enabled in the serial loop with CCJ_PALLAS=1 (off by default: the XLA path
-is the oracle-tested reference); `interpret=True` runs the same kernel on
+A/B outcome (round 4, measured on the real chip): the serial loop was
+instead reformulated in (q, i, j) coordinates (gapped4.py t_body), which
+turns each reduction into a contiguous dynamic-slice + add + masked min
+that XLA fuses into a single VPU kernel — 1.9x faster end-to-end than the
+gather-based formulation this kernel was written to beat, so the engine
+hook was retired and the XLA formulation ships.  The kernel remains the
+unit-tested VPU min-plus building block (tests/test_pallas_ops.py) for a
+future hand-fused whole-span kernel; `interpret=True` runs the same kernel on
 CPU for the equality tests, so the kernel is exercised everywhere even
 when no TPU is attached.
 """

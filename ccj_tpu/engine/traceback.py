@@ -33,6 +33,21 @@ P_WB, P_WBP, P_WP, P_WPP = "*", "^", "#", "@"
 
 HAIRP, INTER, MULTI = 1, 2, 3  # Vtype codes from the fill
 
+# CCJ_DEBUG=1 turns on DP-state invariant checks: interval bounds on every
+# stack push, pair-conflict detection, and end-of-run structure balance —
+# the fail-loudly semantics of the reference's backtrack
+# (src/pseudo_loop.cc:874-915), which release builds skip for speed.
+import os as _os
+
+_DEBUG = bool(_os.environ.get("CCJ_DEBUG"))
+_P_TYPES = frozenset(
+    [P_P, P_PK, P_PL, P_PR, P_PM, P_PO,
+     P_PfromL, P_PfromR, P_PfromM, P_PfromMprime, P_PfromMdp, P_PfromO,
+     P_PLiloop, P_PLmloop, P_PLmloop00, P_PLmloop01, P_PLmloop10,
+     P_PRiloop, P_PRmloop, P_PRmloop00, P_PRmloop01, P_PRmloop10,
+     P_PMiloop, P_PMmloop, P_PMmloop00, P_PMmloop01, P_PMmloop10,
+     P_POiloop, P_POmloop, P_POmloop00, P_POmloop01, P_POmloop10])
+
 
 class Traceback:
     def __init__(self, tabs: SeqTables, P: ScaledParams, pk: PKPenalties, mats):
@@ -221,9 +236,31 @@ class Traceback:
 
     # ---- stack machine ---------------------------------------------------
     def push(self, typ, i, j, k=-1, l=-1):
+        if _DEBUG:
+            # reference semantics: impossible DP states fail loudly
+            # (pseudo_loop.cc:874-915 "This should not have happened!")
+            n = self.n
+            bad = not (0 <= i <= n + 1 and 0 <= j <= n + 1)
+            if typ in _P_TYPES:
+                # P-family intervals carry (i, l, j, k): a degenerate split
+                # (the reference's "no finite candidate" zeros) is an
+                # impossible DP state
+                bad = bad or not (1 <= i <= j <= n)
+            elif k != -1 or l != -1:
+                bad = bad or not (-1 <= k <= n + 1 and -1 <= l <= n + 1)
+            if bad:
+                raise RuntimeError(
+                    f"This should not have happened! (interval {typ!r} "
+                    f"i={i} j={j} k={k} l={l}, n={n})")
         self.stack.append((typ, i, j, k, l))
 
     def set_pair(self, a, b):
+        if _DEBUG and (self.f_pair[a] not in (-1, b)
+                       or self.f_pair[b] not in (-1, a)):
+            raise RuntimeError(
+                f"This should not have happened! (pair ({a},{b}) conflicts "
+                f"with ({a},{int(self.f_pair[a])})/"
+                f"({b},{int(self.f_pair[b])}))")
         self.f_pair[a] = b
         self.f_pair[b] = a
 
@@ -300,7 +337,22 @@ class Traceback:
         while self.stack:
             typ, i, j, k, l = self.stack.pop()
             self.dispatch(typ, i, j, k, l)
-        return int(self.W[n]), self.fill_structure()
+        structure = self.fill_structure()
+        if _DEBUG:
+            pair = self.f_pair
+            for a in range(1, n + 1):
+                b = int(pair[a])
+                if b != -1 and int(pair[b]) != a:
+                    raise RuntimeError(
+                        "This should not have happened! (asymmetric pair "
+                        f"{a}<->{b})")
+            opens = sum(structure.count(c) for c in "([{<")
+            closes = sum(structure.count(c) for c in ")]}>")
+            if opens != closes:
+                raise RuntimeError(
+                    "This should not have happened! (unbalanced structure "
+                    f"{opens} openers vs {closes} closers)")
+        return int(self.W[n]), structure
 
     def dispatch(self, typ, i, j, k, l):
         fn = CASES.get(typ)
@@ -554,6 +606,19 @@ class Traceback:
         (n=200: ~0.1s vs minutes)."""
         if i >= l:
             raise RuntimeError("border case P_P")
+        if hasattr(self.m, "case_p_argmin"):
+            # lazy device-backed matrices: the O(n^3) cube argmin runs on
+            # device and only the split indices come back (engine/lazy.py)
+            bj, bd, bk, _v = self.m.case_p_argmin(i, l)
+            if _DEBUG and _v >= 32767:
+                # a P entry points here but every split candidate is built
+                # from unset (int16-saturated) cells: impossible DP state
+                raise RuntimeError(
+                    "This should not have happened! (P split at "
+                    f"({i},{l}) has no computed candidate, best={_v})")
+            self.push(P_PK, i, bk, bj, bd + 1)
+            self.push(P_PK, bj + 1, l, bd, bk + 1)
+            return
         PK = self.m["PK"]
         m = l - i  # j, d, k live in [i, l): index by offsets 0..m-1
         jj = i + np.arange(m)[:, None, None]
@@ -573,7 +638,14 @@ class Traceback:
             g4v(jj + 1, dd, kk + 1, np.asarray(l))
         vals = np.where(ok, vals, np.int64(INF) * 4)
         flat = int(np.argmin(vals))
-        if int(vals.flat[flat]) >= INF:
+        best = int(vals.flat[flat])
+        if _DEBUG and best >= 32767:
+            # every candidate is unset (int16-saturated) or out of range:
+            # the P entry pointing here is an impossible DP state
+            raise RuntimeError(
+                "This should not have happened! (P split at "
+                f"({i},{l}) has no computed candidate, best={best})")
+        if best >= INF:
             bj = bd = bk = 0  # no finite candidate: reference leaves zeros
         else:
             oj, od, ok_ = np.unravel_index(flat, vals.shape)

@@ -30,83 +30,68 @@ def _loop_extend(table30, lxc, size):
     return table30 + np.trunc(lxc * np.log(size / 30.0)).astype(np.int64)
 
 
-def _E_IntLoop_vec(n1, n2, typ, typ2, si1, sj1, sp1, sq1, P: ScaledParams):
-    """Vectorized exact port of E_IntLoop (ViennaRNA/loops/internal.h:477-569)."""
-    n1 = np.asarray(n1, dtype=np.int64)
-    n2 = np.asarray(n2, dtype=np.int64)
-    nl = np.maximum(n1, n2)
-    ns = np.minimum(n1, n2)
+def _E_IntLoop_slice(n1: int, n2: int, typ, typ2, si1, sj1, sp1, sq1,
+                     P: ScaledParams):
+    """Exact port of E_IntLoop (ViennaRNA/loops/internal.h:477-569) for ONE
+    (n1, n2) loop-size pair, vectorized over the (i, j) plane.
 
-    stack = P.stack.astype(np.int64)
+    The branch on (ns, nl) is a compile-time scalar decision per slice, so
+    only the one live formula's table gathers are evaluated — the fully
+    4-D-vectorized predecessor materialized ~20 temporaries of D^2*n^2
+    int64 each and dominated per-fold host time (~5 s at n=100).
+    """
+    nl, ns = max(n1, n2), min(n1, n2)
+    stack = P.stack
     lxc = P.lxc
 
-    # stack (nl == 0)
-    e_stack = stack[typ, typ2]
+    if nl == 0:                                  # coaxial stack
+        return stack[typ, typ2].astype(np.int64)
 
-    # bulge (ns == 0, nl > 0)
-    nl_c = np.clip(nl, 1, None)
-    e_bulge = np.where(
-        nl <= MAXLOOP,
-        P.bulge.astype(np.int64)[np.clip(nl_c, 0, 30)],
-        _loop_extend(int(P.bulge[30]), lxc, nl_c),
-    )
-    term_au = (typ > 2) * P.TerminalAU + (typ2 > 2) * P.TerminalAU
-    e_bulge = np.where(nl == 1, e_bulge + stack[typ, typ2], e_bulge + term_au)
+    if ns == 0:                                  # bulge
+        if nl <= MAXLOOP:
+            e = int(P.bulge[nl])
+        else:
+            e = int(_loop_extend(int(P.bulge[30]), lxc, np.float64(nl)))
+        if nl == 1:
+            return e + stack[typ, typ2].astype(np.int64)
+        term_au = (typ > 2) * P.TerminalAU + (typ2 > 2) * P.TerminalAU
+        return e + term_au.astype(np.int64)
 
-    # 1x1
-    e_11 = P.int11.astype(np.int64)[typ, typ2, si1, sj1]
-    # 2x1 (order depends on which side is the long one)
-    int21 = P.int21.astype(np.int64)
-    e_21 = np.where(
-        n1 == 1,
-        int21[typ, typ2, si1, sq1, sj1],
-        int21[typ2, typ, sq1, si1, sp1],
-    )
-    # 1xn (nl > 2)
-    nl1 = np.clip(nl + 1, 0, None)
-    e_1n = np.where(
-        nl + 1 <= MAXLOOP,
-        P.internal_loop.astype(np.int64)[np.clip(nl1, 0, 30)],
-        _loop_extend(int(P.internal_loop[30]), lxc, np.clip(nl1, 1, None)),
-    )
-    e_1n = (
-        e_1n
-        + np.minimum(P.MAX_NINIO, (nl - ns) * P.ninio2)
-        + P.mismatch1nI.astype(np.int64)[typ, si1, sj1]
-        + P.mismatch1nI.astype(np.int64)[typ2, sq1, sp1]
-    )
-    # 2x2
-    e_22 = P.int22.astype(np.int64)[typ, typ2, si1, sp1, sq1, sj1]
-    # 2x3
-    e_23 = (
-        int(P.internal_loop[5])
-        + P.ninio2
-        + P.mismatch23I.astype(np.int64)[typ, si1, sj1]
-        + P.mismatch23I.astype(np.int64)[typ2, sq1, sp1]
-    )
-    # generic
-    u = np.clip(nl + ns, 1, None)
-    e_gen = np.where(
-        nl + ns <= MAXLOOP,
-        P.internal_loop.astype(np.int64)[np.clip(u, 0, 30)],
-        _loop_extend(int(P.internal_loop[30]), lxc, u),
-    )
-    e_gen = (
-        e_gen
-        + np.minimum(P.MAX_NINIO, (nl - ns) * P.ninio2)
-        + P.mismatchI.astype(np.int64)[typ, si1, sj1]
-        + P.mismatchI.astype(np.int64)[typ2, sq1, sp1]
-    )
+    if ns == 1 and nl == 1:                      # 1x1
+        return P.int11[typ, typ2, si1, sj1].astype(np.int64)
 
-    out = e_gen
-    out = np.where((ns == 2) & (nl == 3), e_23, out)
-    out = np.where((ns == 2) & (nl == 2), e_22, out)
-    out = np.where((ns == 1) & (nl > 2), e_1n, out)
-    out = np.where((ns == 1) & (nl == 2), e_21, out)
-    out = np.where((ns == 1) & (nl == 1), e_11, out)
-    out = np.where((ns == 0) & (nl > 0), e_bulge, out)
-    out = np.where(nl == 0, e_stack, out)
-    return out
+    if ns == 1 and nl == 2:                      # 2x1
+        if n1 == 1:
+            return P.int21[typ, typ2, si1, sq1, sj1].astype(np.int64)
+        return P.int21[typ2, typ, sq1, si1, sp1].astype(np.int64)
+
+    if ns == 1:                                  # 1xn, n > 2
+        if nl + 1 <= MAXLOOP:
+            e = int(P.internal_loop[nl + 1])
+        else:
+            e = int(_loop_extend(int(P.internal_loop[30]), lxc,
+                                 np.float64(nl + 1)))
+        e += min(int(P.MAX_NINIO), (nl - ns) * int(P.ninio2))
+        return (e + P.mismatch1nI[typ, si1, sj1].astype(np.int64)
+                + P.mismatch1nI[typ2, sq1, sp1].astype(np.int64))
+
+    if ns == 2 and nl == 2:                      # 2x2
+        return P.int22[typ, typ2, si1, sp1, sq1, sj1].astype(np.int64)
+
+    if ns == 2 and nl == 3:                      # 2x3
+        e = int(P.internal_loop[5]) + int(P.ninio2)
+        return (e + P.mismatch23I[typ, si1, sj1].astype(np.int64)
+                + P.mismatch23I[typ2, sq1, sp1].astype(np.int64))
+
+    # generic interior loop
+    u = nl + ns
+    if u <= MAXLOOP:
+        e = int(P.internal_loop[u])
+    else:
+        e = int(_loop_extend(int(P.internal_loop[30]), lxc, np.float64(u)))
+    e += min(int(P.MAX_NINIO), (nl - ns) * int(P.ninio2))
+    return (e + P.mismatchI[typ, si1, sj1].astype(np.int64)
+            + P.mismatchI[typ2, sq1, sp1].astype(np.int64))
 
 
 def _hairpin_table(seq, S, pt, P: ScaledParams, n):
@@ -218,31 +203,33 @@ def build_seq_tables(
     cp = can_pair_table(S, no_gu)
 
     # ---- interior loop stencil table -------------------------------------
+    # One (di, dj) slice at a time: the E_IntLoop case split is a scalar
+    # decision per slice, so each slice costs O(n^2) with at most two small
+    # table gathers (see _E_IntLoop_slice).
     D = MAXLOOP + 2  # di, dj in [1, MAXLOOP+1]
-    di = np.arange(D)[:, None, None, None]
-    dj = np.arange(D)[None, :, None, None]
-    ii = np.arange(n + 2)[None, None, :, None]
-    jj = np.arange(n + 2)[None, None, None, :]
-    kk = ii + di
-    ll = jj - dj
-    valid = (
-        (di >= 1) & (dj >= 1)
-        & (ii >= 1) & (jj <= n)
-        & (kk <= n) & (ll >= 1) & (kk <= ll)
-        & (ii < jj)
-    )
-    kk_c = np.clip(kk, 0, n + 1)
-    ll_c = np.clip(ll, 0, n + 1)
-    typ = pt[np.clip(ii, 0, n + 1), np.clip(jj, 0, n + 1)]
-    typ2 = RTYPE[pt[kk_c, ll_c]]
-    # S[0] holds the length; cells touching it are masked invalid, clip codes
-    Sc = np.clip(S, 0, 4)
-    si1 = Sc[np.clip(ii + 1, 0, n + 1)]
-    sj1 = Sc[np.clip(jj - 1, 0, n + 1)]
-    sp1 = Sc[np.clip(kk - 1, 0, n + 1)]
-    sq1 = Sc[np.clip(ll + 1, 0, n + 1)]
-    eint = _E_IntLoop_vec(di - 1, dj - 1, typ, typ2, si1, sj1, sp1, sq1, P)
-    EINT = np.where(valid, eint, INF).astype(np.int32)
+    n2v = n + 2
+    ii2 = np.arange(n2v)[:, None]
+    jj2 = np.arange(n2v)[None, :]
+    typ = pt[np.clip(ii2, 0, n + 1), np.clip(jj2, 0, n + 1)]
+    Sc = np.clip(S, 0, 4)  # S[0] holds the length; masked cells clip codes
+    si1 = Sc[np.clip(ii2 + 1, 0, n + 1)]
+    sj1 = Sc[np.clip(jj2 - 1, 0, n + 1)]
+    ptp = np.pad(pt, D, mode="constant")              # pt[k, l] shifted reads
+    Scp = np.pad(Sc, D, mode="constant")
+    EINT = np.full((D, D, n2v, n2v), INF, dtype=np.int32)
+    base_valid = (ii2 >= 1) & (jj2 <= n) & (ii2 < jj2)
+    for di in range(1, D):
+        sp1 = Scp[D + np.clip(ii2 + di - 1, -D, n + 1 + D)]
+        kk_ok = ii2 + di <= n
+        for dj in range(1, D):
+            # kk = ii+di, ll = jj-dj as shifted slices of the padded tables
+            typ2 = RTYPE[ptp[D + ii2 + di, D + jj2 - dj]]
+            sq1 = Scp[D + np.clip(jj2 - dj + 1, -D, n + 1 + D)]
+            valid = (base_valid & kk_ok & (jj2 - dj >= 1)
+                     & (ii2 + di <= jj2 - dj))
+            e = _E_IntLoop_slice(di - 1, dj - 1, typ, typ2, si1, sj1,
+                                 sp1, sq1, P)
+            EINT[di, dj] = np.where(valid, e, INF)
 
     # pseudoknot-scaled variants (lrint = round-half-even, matching C lrint)
     EINTP = np.rint(pk.e_intP * EINT.astype(np.float64)).astype(np.int32)

@@ -2,6 +2,13 @@ import os
 import sys
 from pathlib import Path
 
+# The persistent compile cache is shared with TPU-attached runs whose CPU
+# executables are AOT-compiled on the remote accelerator host — a machine
+# with a richer ISA (the cpu_aot_loader "could lead to SIGILL" warning).
+# Reloading those entries here has produced real segfaults mid-suite
+# (jax backend_compile_and_load, SIGSEGV); tests compile in-memory only.
+os.environ["CCJ_COMPILE_CACHE"] = "0"
+
 # Unit tests run on CPU with a virtual 8-device mesh for sharding tests; the
 # real TPU is exercised by bench.py.  The environment force-registers the TPU
 # ("axon") platform via sitecustomize, so the platform must be overridden

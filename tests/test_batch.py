@@ -28,6 +28,13 @@ def test_bucket_for():
     assert bucket_for(999) == 999
 
 
+from ccj_tpu.engine.gapped import M4_NAMES
+
+# every canonical family the traceback can read (r3 review: comparing a
+# 5-matrix subset let batch-only divergence hide in the other 17)
+ALL_KEYS = ["V", "Vtype", "WM", "WMv", "WMp", "P2", "WBP", "WPP"] + M4_NAMES
+
+
 def test_batched_fill_matches_single():
     sp = scale_parameters(default_tables())
     Cb, SCb, n_pad = stack_consts(SEQS, sp, DEFAULT_PK)
@@ -36,7 +43,23 @@ def test_batched_fill_matches_single():
     for b, seq in enumerate(SEQS):
         tabs = build_seq_tables(seq, sp, DEFAULT_PK)
         single = run_fill(tabs, sp, DEFAULT_PK)
-        for key in ("V", "WM", "P2", "PK", "PL"):
+        for key in ALL_KEYS:
+            np.testing.assert_array_equal(
+                np.asarray(out[key][b]), single[key], err_msg=f"{seq}:{key}"
+            )
+
+
+def test_batched_fill6_matches_single():
+    """The shipping single-dispatch batch path (dist.batch.batched_fill6)."""
+    from ccj_tpu.dist.batch import batched_fill6
+
+    sp = scale_parameters(default_tables())
+    out, n_pad = batched_fill6(SEQS, sp, DEFAULT_PK)
+    assert n_pad == 16
+    for b, seq in enumerate(SEQS):
+        tabs = build_seq_tables(seq, sp, DEFAULT_PK)
+        single = run_fill(tabs, sp, DEFAULT_PK)
+        for key in ALL_KEYS:
             np.testing.assert_array_equal(
                 np.asarray(out[key][b]), single[key], err_msg=f"{seq}:{key}"
             )

@@ -46,7 +46,58 @@ CASES = [
 ]
 
 
-@pytest.mark.parametrize("version", [1, 2, 3, 4])
+import os
+
+SEQ60 = __import__("random").Random(42)
+SEQ60 = "".join(SEQ60.choice("ACGU") for _ in range(60))
+
+
+@pytest.mark.skipif(not os.environ.get("CCJ_SLOW"),
+                    reason="n=60 cell parity is minutes on CPU; CCJ_SLOW=1 "
+                           "(run where int16 saturation and deep PK nesting "
+                           "interact — r3 review item 8)")
+def test_fill_matches_reference_n60_deep():
+    n = 60
+    dump = run_oracle(SEQ60, 2, "ccj_tpu/params/rna_DirksPierce09.par", 0)
+    mats = run_mine(SEQ60, 2, "ccj_tpu/params/rna_DirksPierce09.par", False,
+                    version=6)
+    for name in (
+        "PK", "PL", "PR", "PM", "PO",
+        "PfromL", "PfromR", "PfromM", "PfromMprime", "PfromO",
+        "PLmloop00", "PLmloop01", "PLmloop10",
+        "PRmloop00", "PRmloop01", "PRmloop10",
+        "PMmloop00", "PMmloop01", "PMmloop10",
+        "POmloop00", "POmloop01", "POmloop10",
+    ):
+        ref = dump.dense4(name)
+        mine = mine_to_dense4(mats[name], n)
+        sel = ref != -1
+        assert np.array_equal(mine[sel], ref[sel]), name
+
+
+@pytest.mark.skipif(not os.environ.get("CCJ_SLOW"),
+                    reason="packed fill7 vs fill6 at n=70 (2 segments) is "
+                           "minutes on CPU; CCJ_SLOW=1")
+def test_fill7_packed_matches_fill6():
+    from ccj_tpu.engine.gapped5 import segments7
+
+    rng = __import__("random").Random(42)
+    seq = "".join(rng.choice("ACGU") for _ in range(70))
+    m6 = run_mine(seq, version=6)
+    m7 = run_mine(seq, version=7)
+    SEGS = segments7(70)
+    for name in ("V", "WM", "WMv", "WMp", "P2", "WBP", "WPP", "PKD"):
+        np.testing.assert_array_equal(m6[name], m7[name], name)
+    from ccj_tpu.engine.gapped import M4_NAMES as _M4
+
+    for name in _M4:
+        for g, (lo, hi, TB, IB, Lc) in enumerate(SEGS):
+            np.testing.assert_array_equal(
+                m6[name][:TB, lo:hi, :IB, :], m7[f"{name}@{g}"],
+                f"{name}@{g}")
+
+
+@pytest.mark.parametrize("version", [1, 2, 3, 4, 6])
 @pytest.mark.parametrize("seq,dangles,par,nogu", CASES)
 def test_fill_matches_reference(seq, dangles, par, nogu, version):
     n = len(seq)
