@@ -116,7 +116,7 @@ def run_single(n, repeats=3, version=None, trace_dir=None):
     return best, compile_s
 
 
-def run_batch(n=60, batch=4, repeats=2):
+def run_batch(n=60, batch=2, repeats=2):
     """Data-parallel batch fold (single-dispatch vmapped fill6): seqs/s."""
     import jax
     import numpy as np
@@ -146,7 +146,7 @@ def run_batch(n=60, batch=4, repeats=2):
     return batch / best
 
 
-def run_proc_scaling(nseqs=8, seqlen=24, timeout=1200):
+def run_proc_scaling(nseqs=6, seqlen=24, timeout=1200):
     """1-process vs 2-process CPU-loopback corpus throughput.
 
     Returns (seqs_per_s_1p, seqs_per_s_2p, efficiency) where efficiency =
@@ -173,6 +173,10 @@ def run_proc_scaling(nseqs=8, seqlen=24, timeout=1200):
     env["CCJ_TPU_PLATFORM"] = "cpu"
     env.pop("XLA_FLAGS", None)
     env["PYTHONPATH"] = str(Path(__file__).parent)
+    # fresh compile cache: the repo cache holds CPU executables
+    # AOT-compiled on the accelerator host (SIGILL on reload here); the
+    # children share this dir so the 1p warm-up also warms the 2p run
+    env["CCJ_COMPILE_CACHE_DIR"] = os.path.join(tmp, "cache")
 
     def run(nproc):
         port = None
@@ -203,7 +207,11 @@ def run_proc_scaling(nseqs=8, seqlen=24, timeout=1200):
             raise RuntimeError("no corpus-fold-seconds line")
         return max(walls)   # the run is as slow as its slowest process
 
-    run(1)                  # warm the persistent compile cache
+    # warm BOTH configurations: the distributed topology (process count)
+    # is part of the executable cache key, so an unwarmed 2-proc run would
+    # time its own compiles and report nonsense efficiency
+    run(1)
+    run(2)
     t1 = run(1)
     t2 = run(2)
     sps1, sps2 = nseqs / t1, nseqs / t2
@@ -219,8 +227,9 @@ def main():
     ap.add_argument("--sizes", default="126,100,60",
                     help="fill sizes, headline first (= first success); "
                          "126 runs the packed fill7 engine")
-    ap.add_argument("--batch", type=int, default=4,
-                    help="batch size for the n=60 batch bench (0 disables)")
+    ap.add_argument("--batch", type=int, default=2,
+                    help="batch size for the n=60 batch bench (0 disables); "
+                         "2 fits HBM alongside the warm fill executables")
     ap.add_argument("--proc-scaling", type=int, default=1,
                     help="run the 1-vs-2-process CPU corpus scaling bench")
     ap.add_argument("--engine", type=int, default=None,

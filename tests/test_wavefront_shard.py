@@ -1,8 +1,21 @@
 """Wavefront sharding (config 3): sharded fill == unsharded fill, bit for
-bit, on a virtual 8-device mesh, with the state actually partitioned."""
+bit, on a virtual 8-device mesh, with the state actually partitioned.
 
+Runs in a SUBPROCESS: the GSPMD-partitioned span-step compile is the
+heaviest XLA:CPU compilation in the suite and segfaults the compiler when
+run late in a pytest process that has accumulated ~80 tests' executables
+(reproducible at tests/ tail position; fine in a fresh process).  Process
+isolation keeps the assertion strength and removes the flake.
+"""
+
+import os
+import subprocess
+import sys
+
+from oracle_util import REPO
+
+_CHILD = r"""
 import numpy as np
-import pytest
 
 import jax
 from jax.sharding import Mesh
@@ -14,29 +27,39 @@ from ccj_tpu.dist.wavefront import fill4_sharded
 from ccj_tpu.params import DEFAULT_PK, parse_par, scale_parameters
 from ccj_tpu.precompute import build_seq_tables
 
-from oracle_util import REPO
-
 SEQ = "GCGCAAUUGCGCGGCGCUUGCGCCACGUAC"  # n=30 -> n2=32, divides 8 ways
 
+assert len(jax.devices()) >= 8, jax.devices()
+sp = scale_parameters(parse_par("ccj_tpu/params/rna_DirksPierce09.par"))
+tabs = build_seq_tables(SEQ, sp, DEFAULT_PK)
+ref = {k: np.asarray(v)
+       for k, v in best_fill(tabs, sp, DEFAULT_PK, 4)().items()}
 
-@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+mesh = Mesh(np.asarray(jax.devices()[:8]), ("wave",))
+Cp = prune_consts(build_consts(tabs, sp, DEFAULT_PK), sp.dangles, 4)
+SC4 = build_sc4(tabs)
+st = fill4_sharded(Cp, SC4, tabs.n, sp.dangles, mesh)
+
+# the i axis of the 4-D state is genuinely partitioned 8 ways
+assert len(st["PK"].addressable_shards) == 8
+shard_shapes = {sh.data.shape for sh in st["PK"].addressable_shards}
+full = st["PK"].shape
+assert all(s[2] == full[2] // 8 for s in shard_shapes), shard_shapes
+
+for name in M4_NAMES + ["V", "WM", "WMv", "WMp", "P2", "WBP", "WPP"]:
+    np.testing.assert_array_equal(np.asarray(st[name]), ref[name], name)
+print("wavefront-shard-ok")
+"""
+
+
 def test_sharded_fill_matches_unsharded():
-    sp = scale_parameters(
-        parse_par(REPO / "ccj_tpu" / "params" / "rna_DirksPierce09.par"))
-    tabs = build_seq_tables(SEQ, sp, DEFAULT_PK)
-    ref = {k: np.asarray(v)
-           for k, v in best_fill(tabs, sp, DEFAULT_PK, 4)().items()}
-
-    mesh = Mesh(np.asarray(jax.devices()[:8]), ("wave",))
-    Cp = prune_consts(build_consts(tabs, sp, DEFAULT_PK), sp.dangles, 4)
-    SC4 = build_sc4(tabs)
-    st = fill4_sharded(Cp, SC4, tabs.n, sp.dangles, mesh)
-
-    # the i axis of the 4-D state is genuinely partitioned 8 ways
-    assert len(st["PK"].addressable_shards) == 8
-    shard_shapes = {sh.data.shape for sh in st["PK"].addressable_shards}
-    full = st["PK"].shape
-    assert all(s[2] == full[2] // 8 for s in shard_shapes), shard_shapes
-
-    for name in M4_NAMES + ["V", "WM", "WMv", "WMp", "P2", "WBP", "WPP"]:
-        np.testing.assert_array_equal(np.asarray(st[name]), ref[name], name)
+    env = dict(os.environ)
+    env["CCJ_TPU_PLATFORM"] = "cpu"
+    env["CCJ_COMPILE_CACHE"] = "0"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    env["PYTHONPATH"] = str(REPO)
+    res = subprocess.run([sys.executable, "-c", _CHILD], env=env, cwd=REPO,
+                         capture_output=True, timeout=1500)
+    assert res.returncode == 0, res.stderr.decode()[-3000:]
+    assert b"wavefront-shard-ok" in res.stdout
