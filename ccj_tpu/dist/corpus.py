@@ -54,13 +54,22 @@ def fold_shard(seqs, indices, retries: int = 2, batch_limit: int = 8, **kw):
     with retries, so one bad sequence cannot sink its whole batch."""
     from ..api import fold_many
 
+    import os
+    import sys as _sys
+    import time as _time
+
+    dbg = os.environ.get("CCJ_CORPUS_DEBUG")
     order = sorted(range(len(seqs)), key=lambda i: bucket_for(len(seqs[i])))
     out = []
     for lo in range(0, len(order), batch_limit):
         chunk = order[lo: lo + batch_limit]
+        t0 = _time.time()
         try:
             rs = fold_many([seqs[i] for i in chunk],
                            batch_limit=batch_limit, **kw)
+            if dbg:
+                print(f"[corpus] chunk of {len(chunk)}: "
+                      f"{_time.time() - t0:.2f}s", file=_sys.stderr)
             for i, r in zip(chunk, rs):
                 out.append(CorpusResult(indices[i], seqs[i], r.structure,
                                         r.energy))
@@ -137,6 +146,8 @@ def main(argv=None):
     ap.add_argument("--merge-timeout-ms", type=int, default=None,
                     help="barrier/key-value timeout for the result merge "
                          "(default: 10 min + 1 min per shard sequence)")
+    ap.add_argument("--batch-limit", type=int, default=8,
+                    help="sequences per data-parallel batch fill")
     args = ap.parse_args(argv)
 
     import jax
@@ -149,8 +160,14 @@ def main(argv=None):
     import time
 
     t0 = time.time()
-    res = fold_corpus(seqs, retries=args.retries, dangles=args.dangles,
-                      merge_timeout_ms=args.merge_timeout_ms)
+    # pin the fills to THIS process's device: under jax.distributed the
+    # default device is the global device list's head, which lives on
+    # process 0 — without the pin every process funnels its compute
+    # through process 0 (measured 4.6x per-sequence slowdown at 2 procs)
+    with jax.default_device(jax.local_devices()[0]):
+        res = fold_corpus(seqs, retries=args.retries, dangles=args.dangles,
+                          merge_timeout_ms=args.merge_timeout_ms,
+                          batch_limit=args.batch_limit)
     # machine-readable fold wall (bench.py's process-scaling probe)
     print(f"corpus-fold-seconds {time.time() - t0:.3f}", file=sys.stderr)
     if jax.process_index() == 0:
