@@ -112,7 +112,7 @@ def fold(
         st = best_fill(tabs_fill, sp, pk)()
         _jax.block_until_ready(st)
         segs = None
-        if "PK@0" in st:
+        if "PKE@0" in st:
             from .engine.gapped5 import segments7
 
             segs = segments7(tabs_fill.n)

@@ -269,6 +269,12 @@ def fill4(Cp, SC4, n: int, dangles: int, wave: int = 1,
           on_span=None, digest: str = ""):
     """Host-driven v4 fill: per-span jitted steps, executed in lockstep.
 
+    This remains the CHECKPOINTABLE engine: the single-dispatch fill6/7
+    cannot snapshot mid-fill (the whole span loop lives in one
+    executable), so long fills that must survive preemption select it
+    explicitly (CCJ_ENGINE=4 + CCJ_CHECKPOINT_DIR).  It is also the
+    per-span observability engine (CCJ_PROFILE=1).
+
     The big state is donated step to step, so it stays in place on the
     device; one executable per span bucket is compiled.  ``wave`` throttles
     outstanding dispatches; the default 1 (block after every span) is

@@ -49,6 +49,15 @@ I32_SAT = np.int32(SAT16)
 
 MIN_SEG = DS + 2   # every cross-span window must fit within one neighbor
 
+# Families with NO canonical-layout reads in the fill: PK's history lives
+# in the PKD diagonal skew, PLmloop00/PfromL's in their C skews (their only
+# cross-span reads are the RI i-shrink scans and one C-servable fixed-
+# offset read).  Dropping their name@g arrays saves 3 of 22 packed
+# families (~2.4 GB at n=150 with lane padding); the traceback reads them
+# through the surviving layouts (engine/lazy.py translations).
+DROPPED = ("PK", "PLmloop00", "PfromL")
+M4_STORED = tuple(m for m in M4_NAMES if m not in DROPPED)
+
 
 def segments7(n: int, width: int | None = None):
     """Static segment schedule: ((lo, hi, TB, IB, Lc), ...).
@@ -82,7 +91,7 @@ def init_big_state7(n: int, SEGS):
     st = {}
     for g, (lo, hi, TB, IB, Lc) in enumerate(SEGS):
         ns = hi - lo
-        for m in M4_NAMES:
+        for m in M4_STORED:
             st[f"{m}@{g}"] = jnp.full((TB, ns, IB, n2), SAT16,
                                       dtype=jnp.int16)
         for m in C_MATS:
@@ -256,6 +265,35 @@ def span_gapped7(C, SC4, st, s, gi: int, SEGS):
               & (s - b >= 0))
         return jnp.where(ok, sl.astype(jnp.int32), INF)
 
+    def rplane_from_C(name, c, b, di, dj):
+        """rplane_big_all for a family stored ONLY as its C skew:
+        read4(name, tt+c, u=s-b, i+di, j+dj) = C_name[tt+c, u, l, j+dj] at
+        row l = (i+di) + u — a contiguous row block per segment."""
+        def part(h):
+            loh, hih, TBh, IBh, Lch = SEGS[h]
+            A = _pad(st[f"C_{name}@{h}"], 2, 2, 0, INT16_SAT)  # 2 lead rows
+            off = s - b + di - loh - 1 + 2    # row of i = 0 (>= 0, see +2)
+            sl = jax.lax.dynamic_slice(
+                A, (0, jnp.clip(s - b - loh, 0, hih - loh - 1),
+                    jnp.clip(off, 0, Lch + 2 - IB), 0),
+                (TBh, 1, IB, n2))[:, 0]
+            sl = _pad(sl, 0, 0, max(c + TB - TBh, 0), INT16_SAT)
+            return jax.lax.slice(sl, (c, 0, 0), (c + TB, IB, n2))
+
+        sl = part(gi)
+        if gi > 0:
+            sl = jnp.where(s - b >= lo, sl, part(gi - 1))
+        if dj == -1:
+            sl = _pad(sl, 2, 1, 0, INT16_SAT)[:, :, :n2]
+        elif dj == 1:
+            sl = _pad(sl, 2, 0, 1, INT16_SAT)[:, :, 1:]
+        i2, j2 = iv + di, jv + dj
+        k2 = j2 + (tv + c) + 2
+        l2 = i2 + (s - b)
+        ok = ((i2 >= 1) & (i2 <= j2) & (k2 <= l2) & (l2 <= n)
+              & (s - b >= 0))
+        return jnp.where(ok, sl.astype(jnp.int32), INF)
+
     # ---- cross-span reductions: loop over ALL prior segments -------------
     i1 = jnp.arange(IB)
 
@@ -376,7 +414,7 @@ def span_gapped7(C, SC4, st, s, gi: int, SEGS):
         rplane_big_all("PLmloop10", 1, 1, 1, -1),
         rplane_big_all("PLmloop01", 1, 1, 1, -1)) + ap + bp
     PL_b3 = jnp.where(jv >= iv + TURN + 1,
-                      rplane_big_all("PfromL", 1, 1, 1, -1), INF)
+                      rplane_from_C("PfromL", 1, 1, 1, -1), INF)
     PLv = jnp.where(g2(pt, iv, jv) > 0,
                     mmin(PLiloop, PLmloop_v + bp, PL_b3), INF)
     PLs = enc(PLv, valid4)
@@ -615,7 +653,7 @@ def span_gapped7(C, SC4, st, s, gi: int, SEGS):
         packed[name] = pack(v)
 
     new_st = dict(st)
-    for name in M4_NAMES:
+    for name in M4_STORED:
         new_st[f"{name}@{gi}"] = jax.lax.dynamic_update_slice(
             st[f"{name}@{gi}"], packed[name][:, None], (0, s - lo, 0, 0))
     for name in C_MATS:

@@ -90,15 +90,42 @@ class LazyMats:
             if self._segs is None:
                 slab = np.asarray(_fetch_span(self._dev[name], ss))[:, 0]
             else:
-                g = next(gi for gi, (lo, hi, *_r) in enumerate(self._segs)
-                         if lo <= ss < hi)
-                lo = self._segs[g][0]
-                slab = np.asarray(
-                    _fetch_span(self._dev[f"{name}@{g}"], ss - lo))[:, 0]
+                slab = self._packed_slab(name, ss)
             self._slabs[key] = slab
             self.bytes_fetched += slab.nbytes
             self.slab_fetches += 1
         return slab
+
+    def _packed_slab(self, name: str, ss: int):
+        """Fetch span ss of ``name`` from the fill7 packed layouts,
+        translating the families whose canonical storage is dropped
+        (gapped5.DROPPED): PK via the PKD diagonal skew, PLmloop00/PfromL
+        via their C skews."""
+        g = next(gi for gi, (lo, hi, *_r) in enumerate(self._segs)
+                 if lo <= ss < hi)
+        lo = self._segs[g][0]
+        if f"{name}@{g}" in self._dev:
+            return np.asarray(
+                _fetch_span(self._dev[f"{name}@{g}"], ss - lo))[:, 0]
+        if name == "PK":
+            # PKD[tt, ss, i, a=j-i] -> slab[tt, i, j]
+            d = np.asarray(_fetch_span(self._dev["PKD"], ss))[:, 0]
+            T, n2 = d.shape[0], d.shape[1]
+            out = np.full((T, n2, n2), SAT16, dtype=d.dtype)
+            for i in range(n2):
+                out[:, i, i:] = d[:, i, : n2 - i]
+            return out
+        # C_name[tt, ss, lrow = l-lo-1, j] with l = i + ss:
+        # slab rows i are the contiguous C rows starting at ss - lo - 1
+        c = np.asarray(_fetch_span(self._dev[f"C_{name}@{g}"], ss - lo))[:, 0]
+        T, Lc, n2 = c.shape
+        out = np.full((T, min(Lc, n2), n2), SAT16, dtype=c.dtype)
+        base = ss - lo - 1
+        for i in range(out.shape[1]):
+            r = base + i
+            if 0 <= r < Lc:
+                out[:, i, :] = c[:, r, :]
+        return out
 
     # ---- device-side P split (see module docstring) ----------------------
     def case_p_argmin(self, i: int, l: int):

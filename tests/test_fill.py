@@ -88,13 +88,28 @@ def test_fill7_packed_matches_fill6():
     SEGS = segments7(70)
     for name in ("V", "WM", "WMv", "WMp", "P2", "WBP", "WPP", "PKD"):
         np.testing.assert_array_equal(m6[name], m7[name], name)
-    from ccj_tpu.engine.gapped import M4_NAMES as _M4
+    from ccj_tpu.engine.gapped5 import DROPPED, M4_STORED
 
-    for name in _M4:
+    for name in M4_STORED:
         for g, (lo, hi, TB, IB, Lc) in enumerate(SEGS):
             np.testing.assert_array_equal(
                 m6[name][:TB, lo:hi, :IB, :], m7[f"{name}@{g}"],
                 f"{name}@{g}")
+    # dropped canonical families: PK is pinned by the PKD comparison above;
+    # PLmloop00 / PfromL by their C skews (row l - lo - 1 mapping)
+    for name in DROPPED:
+        if name == "PK":
+            continue
+        for g, (lo, hi, TB, IB, Lc) in enumerate(SEGS):
+            cp = m7[f"C_{name}@{g}"]
+            cd = m6["C_" + name]
+            n2 = cd.shape[2]
+            for u in range(lo, hi):
+                lmax = min(lo + 1 + Lc, n2)
+                np.testing.assert_array_equal(
+                    cd[:TB, u, lo + 1: lmax, :],
+                    cp[:TB, u - lo, : lmax - lo - 1, :],
+                    f"C_{name}@{g} u={u}")
 
 
 @pytest.mark.parametrize("version", [1, 2, 3, 4, 6])
