@@ -19,7 +19,11 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# CCJ_TEST_TPU=1 keeps the session's accelerator platform — used to run
+# the CCJ_LONG anchor tests on real hardware (n >= 126 takes ~20 s there
+# vs hours on CPU); everything else runs on the virtual 8-device CPU mesh.
+if not os.environ.get("CCJ_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 # NOTE: no persistent compilation cache here.  Under JAX 0.9.0 an executable
 # loaded back from the disk cache can disagree with the pjit fastpath about
 # the argument-buffer list ("Execution supplied N buffers but compiled
