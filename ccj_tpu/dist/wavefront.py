@@ -20,6 +20,26 @@ v4 state and is exercised at small n.  Correctness of the sharded fill is
 asserted bit-for-bit against the unsharded one in
 tests/test_wavefront_shard.py on a virtual 8-device mesh, and the driver
 dry run prints the measured per-device bytes.
+
+Why the i axis and not the alternatives (SURVEY.md §2.4 rows "TP
+analogue" and "pipeline parallel", decided against with reasons):
+
+* Family-dimension "tensor parallel" (one family per chip) caps at 22
+  ways, leaves the per-family loads wildly unbalanced (PK/PM run the
+  serial loop, PO is a handful of fused ops), and every family reads
+  several others each span — all-to-all traffic per span instead of the
+  i-sharding's nearest-neighbor halos (the +-1 shifts and MAXLOOP
+  stencils reach <= 31 cells, so halo exchange is one narrow
+  ppermute per span over ICI).
+* tt-axis sharding breaks the serial tt-descending loop across chips:
+  each step consumes the previous tt row, so chips would execute the
+  loop one after another — a pipeline with a bubble per span equal to
+  the whole loop.  The i axis is embarrassingly parallel inside every
+  reduction (no same-span i dependencies).
+* Pipeline parallelism over the 22-family DAG has the same defect: the
+  mloop00 -> PX -> PfromX -> PK chain is sequential WITHIN each tt step
+  of one span, so staging it across chips pipelines a critical path,
+  gaining nothing a deeper wave split does not give at lower comm cost.
 """
 
 from __future__ import annotations
