@@ -438,22 +438,13 @@ def fill6(C, SC4, n: int, dangles: int):
     return st
 
 
-@functools.partial(jax.jit, static_argnames=("n", "dangles", "SEGS"))
-def fill7(C, SC4, n: int, dangles: int, SEGS):
-    """Segment-packed whole fill, ONE dispatch (the long-sequence engine).
-
-    Same single-dispatch structure as fill6, but the O(n^4) state is
-    stored per span segment with exact extents (engine/gapped5.py), which
-    cuts HBM by ~4-6x and restores the reference's length reach (n=150
-    fits one 16 GB chip; dense capped out at n~110).
-    """
+@functools.partial(jax.jit, static_argnames=("n", "dangles", "SEGS"),
+                   donate_argnames=("st",))
+def _fill7_inner(C, SC4, st, n: int, dangles: int, SEGS):
     from .gapped import compute_WBP_WPP_span
-    from .gapped5 import compute_P_span7, init_big_state7, span_gapped7
+    from .gapped5 import compute_P_span7, span_gapped7
 
     C = {**C, "n": n}
-    st = init_state_2d(n)
-    st.update(init_big_state7(n, SEGS))
-
     for gi, (lo, hi, TBg, IBg, _Lc) in enumerate(SEGS):
         def body(s, st, gi=gi, hi=hi):
             st = compute_V_span(C, st, s, dangles)
@@ -464,6 +455,27 @@ def fill7(C, SC4, n: int, dangles: int, SEGS):
 
         st = jax.lax.fori_loop(lo, hi, body, st)
     return st
+
+
+def fill7(C, SC4, n: int, dangles: int, SEGS):
+    """Segment-packed whole fill, ONE dispatch (the long-sequence engine).
+
+    Same single-dispatch structure as fill6, but the O(n^4) state is
+    stored per span segment with exact extents (engine/gapped5.py), which
+    cuts HBM ~4x and restores length reach past the dense cap (n~110).
+
+    The initial state is allocated OUTSIDE the executable and DONATED:
+    with in-graph initialization XLA kept the returned state as output
+    buffers disjoint from the loop-carried temporaries — double-counting
+    the whole state in peak HBM; donation lets the outputs alias the
+    argument buffers.
+    """
+    from .gapped5 import init_big_state7
+
+    st = init_state_2d(n)
+    st.update(init_big_state7(n, SEGS))
+    st = {k: jax.device_put(v) for k, v in st.items()}
+    return _fill7_inner(C, SC4, st, n, dangles, SEGS)
 
 
 # Largest n whose dense [T, S, n2, n2] state (~29 arrays) fits one 16 GB
