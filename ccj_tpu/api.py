@@ -75,31 +75,43 @@ def fold(
         seq = seq_to_rna(seq)
     validate_sequence(seq)
 
-    dna = no_conv and "T" in seq
+    # DNA auto-selection (embedded Mathews2004 tables + forced noGU) happens
+    # ONLY when no -P file is given (reference: src/CCJ.cc:80-98 — with an
+    # explicit paramFile the reference keeps GU pairs even for T sequences)
+    dna = no_conv and "T" in seq and param_file is None
     if dna:
         no_gu = True
-    tables = _load_tables(param_file, dna and param_file is None)
+    tables = _load_tables(param_file, dna)
     sp = scale_parameters(tables, temperature=temperature, dangles=dangles)
     tabs = build_seq_tables(seq, sp, pk, no_gu=no_gu)
     from .engine.fold import DENSE_MAX_N
 
-    if bucket and len(seq) <= DENSE_MAX_N:
-        from .dist.batch import bucket_for
+    from .dist.batch import bucket_for
+
+    # bucket-pad ONLY when the padded length still runs the dense engine:
+    # padding past DENSE_MAX_N would silently switch to the packed fill7
+    # at an inflated length (and grow the O(n^4) state by (bucket/n)^4)
+    if bucket and bucket_for(len(seq)) <= DENSE_MAX_N:
         from .precompute import pad_seq_tables
 
         tabs_fill = pad_seq_tables(tabs, bucket_for(len(seq)), sp, pk, no_gu=no_gu)
     else:
-        # long sequences run the packed fill at their exact length: bucket
-        # padding grows the O(n^4) state by (bucket/n)^4, real HBM at this
-        # scale
         tabs_fill = tabs
     if lazy is None:
         import jax as _jax
 
         # accelerators: avoid the slow host link; packed fills (> dense
-        # reach): the lazy layer is also the packed-layout reader
+        # reach): the lazy layer is also the packed-layout reader.  Decide
+        # from the FILL length (the engine best_fill actually selects on),
+        # not the raw sequence length.
         lazy = (_jax.default_backend() != "cpu"
-                or len(seq) > DENSE_MAX_N)
+                or tabs_fill.n > DENSE_MAX_N)
+    from .engine.fold import default_version
+
+    if default_version(tabs_fill.n) >= 7:
+        # packed state ('name@g' keys) is only readable through the LazyMats
+        # layout translations — a dense-key traceback would KeyError
+        lazy = True
     if lazy:
         # keep the O(n^4) state on device; the traceback fetches per-span
         # slabs on demand (engine/lazy.py) instead of pulling ~GBs across
@@ -157,6 +169,7 @@ def fold_many(
     import numpy as np
 
     from .dist.batch import batched_fill6, bucket_for
+    from .engine.fold import DENSE_MAX_N
 
     prepped = []
     for idx, seq0 in enumerate(seqs):
@@ -170,10 +183,22 @@ def fold_many(
     sp = scale_parameters(tables, temperature=temperature, dangles=dangles)
 
     groups: dict[int, list] = {}
+    long_items = []
     for idx, seq in prepped:
-        groups.setdefault(bucket_for(len(seq)), []).append((idx, seq))
+        b = bucket_for(len(seq))
+        if b > DENSE_MAX_N:
+            # one long sequence must not pad the whole batch into the dense
+            # O(n^4) vmapped fill (tens of GB per element past n~110); fold
+            # it individually through the packed single-sequence engine
+            long_items.append((idx, seq))
+        else:
+            groups.setdefault(b, []).append((idx, seq))
 
     results = [None] * len(seqs)
+    for idx, seq in long_items:
+        results[idx] = fold(seq, dangles=dangles, param_file=param_file,
+                            no_gu=no_gu, no_conv=no_conv, pk=pk,
+                            temperature=temperature)
     for b in sorted(groups):
         items = groups[b]
         for lo in range(0, len(items), batch_limit):
@@ -231,10 +256,11 @@ def partition(
     if not no_conv:
         seq = seq_to_rna(seq)
     validate_sequence(seq)
-    dna = no_conv and "T" in seq
+    # same -P/auto-DNA branch order as fold() (reference: src/CCJ.cc:80-98)
+    dna = no_conv and "T" in seq and param_file is None
     if dna:
         no_gu = True
-    tables = _load_tables(param_file, dna and param_file is None)
+    tables = _load_tables(param_file, dna)
     sp = scale_parameters(tables, temperature=temperature, dangles=dangles)
     tabs = build_seq_tables(seq, sp, pk, no_gu=no_gu)
     if device is None:

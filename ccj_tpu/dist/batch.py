@@ -30,7 +30,10 @@ from ..params.scaling import ScaledParams
 from ..precompute import build_seq_tables, pad_seq_tables
 
 # Bucket boundaries: one compiled executable per bucket per dangle model.
-BUCKETS = (16, 24, 32, 48, 64, 80, 100, 128, 160, 200, 256, 320)
+# 110 == engine.fold.DENSE_MAX_N: lengths 101-110 must NOT bucket past the
+# dense engine's reach (a 105-nt fold padded to 128 blows every minor axis
+# to 256 lanes and OOMs the chip the unpadded engines handle comfortably).
+BUCKETS = (16, 24, 32, 48, 64, 80, 100, 110, 128, 160, 200, 256, 320)
 
 
 def bucket_for(n: int) -> int:

@@ -73,7 +73,13 @@ def fold_shard(seqs, indices, retries: int = 2, batch_limit: int = 8, **kw):
             for i, r in zip(chunk, rs):
                 out.append(CorpusResult(indices[i], seqs[i], r.structure,
                                         r.energy))
-        except Exception:  # noqa: BLE001 — batch failed: per-seq fallback
+        except Exception as exc:  # noqa: BLE001 — batch failed: per-seq fallback
+            # always log the cause: a systematic failure (code bug, OOM)
+            # would otherwise silently degrade EVERY chunk to slow
+            # sequential folds with no trace of why
+            print(f"[corpus] batch of {len(chunk)} failed "
+                  f"({type(exc).__name__}: {exc}); falling back to "
+                  f"per-sequence folds", file=_sys.stderr)
             for i in chunk:
                 r = _fold_one(seqs[i], retries=retries, **kw)
                 r.index = indices[i]

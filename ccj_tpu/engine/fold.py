@@ -82,7 +82,7 @@ def prune_consts(C, dangles: int, version: int = 3):
     comment above describes.
     """
     drop = (_ALL_DANGLE_KEYS - set(_DANGLE_KEYS[dangles])) | {"n"}
-    if version in (2, 3, 4, 5, 6):
+    if version in (3, 4, 6):
         drop = drop | {"EINTP"}  # baked into the stencil consts host-side
     return {k: v for k, v in C.items() if k not in drop}
 
@@ -129,29 +129,6 @@ def fill(C, n: int, dangles: int):
 
         def t_body(m, st4):
             return gapped_step(C, st4, s, s - 2 - m)
-
-        st = jax.lax.fori_loop(0, jnp.maximum(s - 1, 0), t_body, st)
-        st = compute_WMv_WMp_WM_span(C, st, s, dangles)
-        return st
-
-    return jax.lax.fori_loop(0, n, span_body, st)
-
-
-@functools.partial(jax.jit, static_argnames=("n", "dangles"))
-def fill2(C, SC, n: int, dangles: int):
-    """Optimized fill: slab-reduction gapped step (engine/gapped2.py)."""
-    from .gapped2 import gapped_step2, init_aux_state
-
-    C = {**C, "n": n}
-    st = init_state(n)
-    st.update(init_aux_state(n))
-
-    def span_body(s, st):
-        st = compute_V_span(C, st, s, dangles)
-        st = compute_P_WBP_WPP_span(C, st, s)
-
-        def t_body(m, st4):
-            return gapped_step2(C, SC, st4, s, s - 2 - m)
 
         st = jax.lax.fori_loop(0, jnp.maximum(s - 1, 0), t_body, st)
         st = compute_WMv_WMp_WM_span(C, st, s, dangles)
@@ -359,48 +336,6 @@ def _clear_checkpoint(path):
 
 
 @functools.partial(jax.jit, static_argnames=("n", "dangles"))
-def fill5(C, SC4, n: int, dangles: int):
-    """Single-dispatch v4 engine: the span loop and its bucket dispatch run
-    on device (fori_loop + lax.switch over the static bucket set).
-
-    Same computation as fill4, but one executable and one host round trip:
-    the host-driven loop's per-span synchronization is at the mercy of the
-    accelerator-tunnel latency (measured anywhere from 1 ms to 100 ms per
-    round trip on the axon backend), which dominated the ~1 ms/span device
-    time.
-    """
-    from .gapped import compute_WBP_WPP_span
-    from .gapped3 import compute_P_span3
-    from .gapped4 import bucket_dims, init_big_state4, span_gapped4
-
-    C = {**C, "n": n}
-    st = init_state(n)
-    st.update(init_big_state4(n))
-
-    buckets = []
-    idx_for_s = []
-    for s in range(max(n, 1)):
-        b = bucket_dims(n, s)
-        if b not in buckets:
-            buckets.append(b)
-        idx_for_s.append(buckets.index(b))
-    idx_arr = jnp.asarray(np.asarray(idx_for_s, dtype=np.int32))
-
-    def span_body(s, st):
-        st = compute_V_span(C, st, s, dangles)
-        st = compute_P_span3(C, st, s)
-        st = compute_WBP_WPP_span(C, st, s)
-        branches = [
-            (lambda st_, TB=TB, IB=IB: span_gapped4(C, SC4, st_, s, TB, IB))
-            for TB, IB in buckets
-        ]
-        st = jax.lax.switch(idx_arr[s], branches, st)
-        return compute_WMv_WMp_WM_span(C, st, s, dangles)
-
-    return jax.lax.fori_loop(0, n, span_body, st)
-
-
-@functools.partial(jax.jit, static_argnames=("n", "dangles"))
 def fill6(C, SC4, n: int, dangles: int):
     """Whole v4 fill as ONE executable / ONE dispatch.
 
@@ -505,10 +440,12 @@ def best_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties,
     """
     if version is None:
         version = default_version(tabs.n)
-    if version not in (1, 2, 3, 4, 5, 6, 7):
+    # 2 (slab-reduction) and 5 (lax.switch dispatch) are retired: superseded
+    # by 3 and 6 with no remaining callers (round-4 VERDICT weak #7)
+    if version not in (1, 3, 4, 6, 7):
         raise ValueError(
-            f"unknown fill version {version!r} (expected 1..7)")
-    if version in (4, 5, 6, 7):
+            f"unknown fill version {version!r} (expected 1, 3, 4, 6 or 7)")
+    if version in (4, 6, 7):
         import os
 
         from .gapped4 import build_sc4
@@ -525,8 +462,6 @@ def best_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties,
             return lambda: fill7(Cp, SC4, tabs.n, P.dangles, SEGS)
         if version == 6:
             return lambda: fill6(Cp, SC4, tabs.n, P.dangles)
-        if version == 5:
-            return lambda: fill5(Cp, SC4, tabs.n, P.dangles)
         on_span = None
         if os.environ.get("CCJ_PROFILE"):
             import sys
@@ -539,13 +474,12 @@ def best_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties,
                              checkpoint_dir=ckpt, on_span=on_span,
                              digest=dig)
     C = build_consts(tabs, P, pk)
-    if version in (2, 3):
+    if version == 3:
         from .gapped2 import build_stencil_consts
 
         SC = build_stencil_consts({**C, "n": tabs.n})
         Cp = prune_consts(C, P.dangles, version)
-        fn = fill3 if version == 3 else fill2
-        return lambda: fn(Cp, SC, tabs.n, P.dangles)
+        return lambda: fill3(Cp, SC, tabs.n, P.dangles)
     Cp = prune_consts(C, P.dangles, 1)
     return lambda: fill(Cp, tabs.n, P.dangles)
 

@@ -112,7 +112,7 @@ def test_fill7_packed_matches_fill6():
                     f"C_{name}@{g} u={u}")
 
 
-@pytest.mark.parametrize("version", [1, 2, 3, 4, 6])
+@pytest.mark.parametrize("version", [1, 3, 4, 6])
 @pytest.mark.parametrize("seq,dangles,par,nogu", CASES)
 def test_fill_matches_reference(seq, dangles, par, nogu, version):
     n = len(seq)

@@ -24,8 +24,11 @@ def _args_to_kwargs(args):
         if a == "-d":
             kw["dangles"] = int(next(it))
         elif a == "-P":
-            # corpus entries predate the move of .par files into the package
-            p = next(it).replace("params/", "ccj_tpu/params/", 1)
+            # older corpus entries predate the move of .par files into the
+            # package; newer ones carry the ccj_tpu/params/ path already
+            p = next(it)
+            if p.startswith("params/"):
+                p = "ccj_tpu/" + p
             kw["param_file"] = str(REPO / p)
         elif a == "--noGU":
             kw["no_gu"] = True
@@ -55,6 +58,13 @@ def _select():
     # pseudoknot — VERDICT r2 weak #3)
     for e in CORPUS:
         if len(e["seq"]) >= 35 and not e["args"]:
+            picked.append(e)
+    # ... plus the -P x --noConv branch-order regression (round-4 VERDICT
+    # weak #1: explicit -P must NOT force noGU on T sequences); same length
+    # bucket as the n=37 anchor, so it reuses that compiled executable
+    for e in CORPUS:
+        if "--noConv" in e["args"] and "-P" in e["args"] \
+                and "--noGU" not in e["args"] and len(e["seq"]) == 37:
             picked.append(e)
     return picked
 

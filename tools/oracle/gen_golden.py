@@ -67,6 +67,17 @@ def main():
     dna = curated[0].replace("U", "T")
     cases.append((dna, ("--noConv",)))
     cases.append((rand_seq(30, random.Random(13)).replace("U", "T"), ("--noConv",)))
+    # -P combined with --noConv / --noGU: with an explicit param file the
+    # reference does NOT auto-force noGU for T sequences (src/CCJ.cc:80-98);
+    # these entries pin that branch (round-4 VERDICT weak #1)
+    cases.append((dna, ("-P", "ccj_tpu/params/rna_Turner04.par", "--noConv")))
+    cases.append((rand_seq(30, random.Random(13)).replace("U", "T"),
+                  ("-P", "ccj_tpu/params/rna_DirksPierce09.par", "--noConv")))
+    cases.append((curated[0], ("-P", "ccj_tpu/params/rna_Turner04.par", "--noGU")))
+    cases.append((rand_seq(30, random.Random(42)),
+                  ("-P", "ccj_tpu/params/rna_DirksPierce03.par", "--noGU")))
+    cases.append((dna, ("-P", "ccj_tpu/params/rna_Turner04.par",
+                        "--noConv", "--noGU")))
 
     seen = set()
     for seq, args in cases:
