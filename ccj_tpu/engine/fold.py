@@ -413,6 +413,43 @@ def fill7(C, SC4, n: int, dangles: int, SEGS):
     return _fill7_inner(C, SC4, st, n, dangles, SEGS)
 
 
+@functools.partial(jax.jit, static_argnames=("n", "dangles", "SEGS"),
+                   donate_argnames=("st",))
+def _fill8_inner(C, SC4, st, n: int, dangles: int, SEGS):
+    from .gapped import compute_WBP_WPP_span
+    from .gapped6 import compute_P_span7, span_gapped8
+
+    C = {**C, "n": n}
+    for gi, (lo, hi, TBg, IBg, _Lc) in enumerate(SEGS):
+        def body(s, st, gi=gi, hi=hi):
+            st = compute_V_span(C, st, s, dangles)
+            st = compute_P_span7(C, st, s, SEGS, s_cap=hi)
+            st = compute_WBP_WPP_span(C, st, s)
+            st = span_gapped8(C, SC4, st, s, gi, SEGS)
+            return compute_WMv_WMp_WM_span(C, st, s, dangles)
+
+        st = jax.lax.fori_loop(lo, hi, body, st)
+    return st
+
+
+def fill8(C, SC4, n: int, dangles: int, SEGS):
+    """Lane-aware segment-packed whole fill, ONE dispatch (the long-
+    sequence engine past the 128-lane boundary).
+
+    Same single-dispatch structure as fill7, but each family's minor axis
+    is jd = j - i with per-segment extent hi_g - 2 (engine/gapped6.py):
+    the minor axis stays lane-exact past n = 126, restoring the length
+    reach the reference gets from simplex packing
+    (reference: src/matrices.hh:148-231).  State donated as in fill7.
+    """
+    from .gapped6 import init_big_state8
+
+    st = init_state_2d(n)
+    st.update(init_big_state8(n, SEGS))
+    st = {k: jax.device_put(v) for k, v in st.items()}
+    return _fill8_inner(C, SC4, st, n, dangles, SEGS)
+
+
 # Largest n whose dense [T, S, n2, n2] state (~29 arrays) fits one 16 GB
 # chip with working room; beyond it best_fill switches to the packed fill7.
 DENSE_MAX_N = 110
@@ -442,10 +479,10 @@ def best_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties,
         version = default_version(tabs.n)
     # 2 (slab-reduction) and 5 (lax.switch dispatch) are retired: superseded
     # by 3 and 6 with no remaining callers (round-4 VERDICT weak #7)
-    if version not in (1, 3, 4, 6, 7):
+    if version not in (1, 3, 4, 6, 7, 8):
         raise ValueError(
-            f"unknown fill version {version!r} (expected 1, 3, 4, 6 or 7)")
-    if version in (4, 6, 7):
+            f"unknown fill version {version!r} (expected 1, 3, 4, 6, 7 or 8)")
+    if version in (4, 6, 7, 8):
         import os
 
         from .gapped4 import build_sc4
@@ -455,6 +492,11 @@ def best_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties,
         Cp = prune_consts(build_consts(tabs, P, pk, device=False),
                           P.dangles, min(version, 6))
         Cp = {k: jax.device_put(jnp.asarray(v)) for k, v in Cp.items()}
+        if version == 8:
+            from .gapped5 import segments7
+
+            SEGS = segments7(tabs.n)
+            return lambda: fill8(Cp, SC4, tabs.n, P.dangles, SEGS)
         if version == 7:
             from .gapped5 import segments7
 

@@ -1,0 +1,603 @@
+"""Gapped-region DP, v6 storage: lane-aware (j-relative) packed segments.
+
+The v5 packed layout (gapped5.py) stores each family per span segment as
+``name@g : [TB, ns, IB, n2]`` — exact extents on every axis EXCEPT the
+minor j axis, which stays n2 wide and therefore pads to the TPU's 128-lane
+tile multiple on every array and every working temporary.  That put the
+single-chip ceiling exactly at n = 126 (n2 = 128 is tile-exact; n = 134
+pads 136 -> 256 lanes on ALL buffers, measured 16.7 GB).
+
+v6 keeps the v5 segment structure and the v4 compute (same recurrences,
+bit-identical; the span step is a line-for-line sibling of
+gapped5.span_gapped7) but stores the minor axis RELATIVE to i:
+
+    name@g : [TB_g, ns_g, IB_g, JD_g],   jd = j - i,  JD_g = hi_g - 2
+
+since j <= i + s - tt - 2 bounds jd by hi_g - 3 independent of i.  The
+minor extent now tracks the segment's span reach instead of n — segments
+with hi <= 130 stay at exactly 128 lanes at ANY sequence length, which is
+the 4x j-axis packing the reference gets from its simplex indexing
+(reference: src/matrices.hh:148-231) expressed lane-natively.
+
+The (i, j) <-> (i, jd) conversion is the constant-time pad-and-reshape
+skew (engine/skew.py) — data movement only, no gathers:
+
+  * canonical reads (fixed-offset planes, MAXLOOP stencil windows, RL
+    history scans): row index == semantic i, so ``skew_right`` restores
+    the dense j columns in one reshape; a static column shift absorbs the
+    (di, dj) read offsets.
+  * C-skew reads (rows l = i + u): jd = j - (l - u) needs a shift by both
+    the row (lr) and the span (sloc) index — two chained skews.
+  * writes: ``unskew_right`` of the span's dense slab.
+
+The PK diagonal skews (PKD / PKE@g) and compute_P are reused from
+gapped5 unchanged; the 2-D matrices stay dense.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import INF, SAT16, TURN, mmin
+from .gapped import M4_NAMES, _wx_tables
+from .gapped2 import C_MATS, DS, dims
+from .gapped4 import (B4_MATS, LOOP_MATS, PADT4, _pad, build_sc4,  # noqa: F401
+                      update_pk_skews4)
+from .gapped5 import (DROPPED, M4_STORED, MIN_SEG, compute_P_span7,  # noqa: F401
+                      segments7, update_pk_skews7)
+from .skew import skew_right, unskew_right
+
+INT16_SAT = np.int16(SAT16)
+NP_INF = np.int32(INF)
+I32_SAT = np.int32(SAT16)
+
+
+def jd_of(hi: int) -> int:
+    """Minor-axis extent of a segment ending at span hi: jd = j - i is
+    bounded by s - tt - 2 <= hi - 3 for any span s < hi, tt >= 0."""
+    return max(hi - 2, 8)
+
+
+def _to_j(P, n2, fill):
+    """Dense-j view of a packed slab whose axis -2 row index IS the
+    semantic i: out[..., i, j] = P[..., i, j - i] (missing jd -> fill)."""
+    Y = skew_right(P, fill)                       # [..., i, jd + i]
+    W = Y.shape[-1]
+    if W < n2:
+        Y = _pad(Y, Y.ndim - 1, 0, n2 - W, fill)
+    return Y[..., :n2]
+
+
+def _from_j(dense, JD, fill):
+    """Inverse: packed[..., i, jd] = dense[..., i, i + jd]."""
+    return unskew_right(dense, fill, JD)
+
+
+def init_big_state8(n: int, SEGS):
+    """Per-segment jd-packed arrays + the v5 PK diagonal skews."""
+    n2, T, S, U = dims(n)
+    st = {}
+    for g, (lo, hi, TB, IB, Lc) in enumerate(SEGS):
+        ns = hi - lo
+        JD = jd_of(hi)
+        for m in M4_STORED:
+            st[f"{m}@{g}"] = jnp.full((TB, ns, IB, JD), SAT16,
+                                      dtype=jnp.int16)
+        for m in C_MATS:
+            st[f"C_{m}@{g}"] = jnp.full((TB, ns, Lc, JD), SAT16,
+                                        dtype=jnp.int16)
+        TBE = max(min(n - lo, T), 1)
+        IBE = n - lo + 2
+        st[f"PKE@{g}"] = jnp.full((TBE, ns, IBE, n2), SAT16,
+                                  dtype=jnp.int16)
+    st["PKD"] = jnp.full((T, S, n2, n2), SAT16, dtype=jnp.int16)
+    return st
+
+
+def span_gapped8(C, SC4, st, s, gi: int, SEGS):
+    """All 22 gapped families for span s of segment gi; sibling of
+    gapped5.span_gapped7 with jd-packed storage access."""
+    n = C["n"]
+    n2, T, S, U = dims(n)
+    lo, hi, TB, IB, _Lc = SEGS[gi]
+    UB = n2 + TB
+    bp, cp, ap, PB = C["bp"], C["cp"], C["ap"], C["PB"]
+    canp, pt, ESTP = C["can_pair"], C["ptype"], C["ESTP"]
+
+    tv = jnp.arange(TB)[:, None, None]      # tt
+    iv = jnp.arange(IB)[None, :, None]      # i
+    jv = jnp.arange(n2)[None, None, :]      # j
+    kv = jv + tv + 2
+    lv = iv + s
+    Gv = lv - kv
+    valid4 = (iv >= 1) & (jv >= iv) & (kv <= lv) & (lv <= n)
+
+    WBt, WPt, WBPg, WPPg = _wx_tables(C, st)
+
+    def g2(X, a, b):
+        ok = (a >= 0) & (a < n2) & (b >= 0) & (b < n2)
+        v = X[jnp.clip(a, 0, n2 - 1), jnp.clip(b, 0, n2 - 1)]
+        return jnp.where(ok, v, INF)
+
+    def enc(v, vmask):
+        return jnp.where(vmask, jnp.clip(v, -32768, SAT16), INF)
+
+    # ---- segment-resolved plane reads ------------------------------------
+    def _seg_plane(name, h, u, c, rows):
+        """[rows, IB+1, n2] dense-j slab of family ``name`` at span ``u``
+        read from segment h, tt rows [c, c+rows), i rows [0, IB+1),
+        missing extents as SAT16."""
+        loh, hih, TBh, IBh, _ = SEGS[h]
+        JDh = jd_of(hih)
+        A = st[f"{name}@{h}"]
+        sl = jax.lax.dynamic_slice(
+            A, (0, jnp.clip(u - loh, 0, hih - loh - 1), 0, 0),
+            (TBh, 1, min(IB + 1, IBh), JDh))[:, 0]
+        if IB + 1 > IBh:
+            sl = _pad(sl, 1, 0, IB + 1 - IBh, INT16_SAT)
+        sl = _pad(sl, 0, 0, max(c + rows - TBh, 0), INT16_SAT)
+        sl = jax.lax.slice(sl, (c, 0, 0), (c + rows, IB + 1, JDh))
+        return _to_j(sl, n2, INT16_SAT)      # row index == semantic i
+
+    def rplane_big_all(name, c, b, di, dj):
+        """value[tt, i, j] = read4(name, n, tt+c, s-b, i+di, j+dj)."""
+        cur = _seg_plane(name, gi, s - b, c, TB)
+        if gi > 0:
+            prev = _seg_plane(name, gi - 1, s - b, c, TB)
+            sl = jnp.where(s - b >= lo, cur, prev)
+        else:
+            sl = cur
+        sl = sl[:, di: di + IB, :]
+        if dj == -1:
+            sl = _pad(sl, 2, 1, 0, INT16_SAT)[:, :, :n2]
+        elif dj == 1:
+            sl = _pad(sl, 2, 0, 1, INT16_SAT)[:, :, 1:]
+        i2, j2 = iv + di, jv + dj
+        k2 = j2 + (tv + c) + 2
+        l2 = i2 + (s - b)
+        ok = ((i2 >= 1) & (i2 <= j2) & (k2 <= l2) & (l2 <= n)
+              & (s - b >= 0))
+        return jnp.where(ok, sl.astype(jnp.int32), INF)
+
+    def rplane_from_C(name, c, b, di, dj):
+        """rplane_big_all for a family stored ONLY as its C skew:
+        read4(name, tt+c, u=s-b, i+di, j+dj) = C_name[tt+c, u, l, jd] at
+        row l = (i+di) + u, jd = (j+dj) - (i+di)."""
+        def part(h):
+            loh, hih, TBh, IBh, Lch = SEGS[h]
+            JDh = jd_of(hih)
+            A = _pad(st[f"C_{name}@{h}"], 2, 2, 0, INT16_SAT)  # 2 lead rows
+            off = s - b + di - loh - 1 + 2    # row of i = 0 (>= 0, see +2)
+            sl = jax.lax.dynamic_slice(
+                A, (0, jnp.clip(s - b - loh, 0, hih - loh - 1),
+                    jnp.clip(off, 0, Lch + 2 - IB), 0),
+                (TBh, 1, IB, JDh))[:, 0]
+            sl = _pad(sl, 0, 0, max(c + TB - TBh, 0), INT16_SAT)
+            sl = jax.lax.slice(sl, (c, 0, 0), (c + TB, IB, JDh))
+            # row r holds semantic iread = r + di (jd = j - iread): the
+            # skew shifts by the row index r, so column u of the skewed
+            # slab holds j = u + di — a static residual right-shift by di
+            dsl = _to_j(sl, n2, INT16_SAT)
+            if di:
+                dsl = _pad(dsl, 2, di, 0, INT16_SAT)[:, :, :n2]
+            return dsl
+
+        sl = part(gi)
+        if gi > 0:
+            sl = jnp.where(s - b >= lo, sl, part(gi - 1))
+        if dj == -1:
+            sl = _pad(sl, 2, 1, 0, INT16_SAT)[:, :, :n2]
+        elif dj == 1:
+            sl = _pad(sl, 2, 0, 1, INT16_SAT)[:, :, 1:]
+        i2, j2 = iv + di, jv + dj
+        k2 = j2 + (tv + c) + 2
+        l2 = i2 + (s - b)
+        ok = ((i2 >= 1) & (i2 <= j2) & (k2 <= l2) & (l2 <= n)
+              & (s - b >= 0))
+        return jnp.where(ok, sl.astype(jnp.int32), INF)
+
+    # ---- cross-span reductions: loop over ALL prior segments -------------
+    i1 = jnp.arange(IB)
+
+    def RL(name, X, g1):
+        """min over d in [1, G-g1] of name[tt, s-d, i, j] + X(l-d+1, l)."""
+        acc = jnp.full((TB, IB, n2), NP_INF, dtype=jnp.int32)
+        for h in range(gi + 1):
+            loh, hih, TBh, IBh, _ = SEGS[h]
+            JDh = jd_of(hih)
+            nsh = hih - loh
+            A = st[f"{name}@{h}"]
+            blk = jax.lax.slice(
+                A, (0, 0, 0, 0), (TBh, nsh, IB, JDh))
+            win = _to_j(blk, n2, INT16_SAT).astype(jnp.int32)
+            win = _pad(win, 0, 0, TB - TBh, I32_SAT)
+            u_h = loh + jnp.arange(nsh)
+            wl = g2(X, i1[None, :] + u_h[:, None] + 1,
+                    jnp.broadcast_to(i1[None, :] + s, (nsh, IB)))
+            d_h = (s - u_h)[None, :, None, None]
+            ok = (d_h >= 1) & (d_h <= (Gv - g1)[:, None])
+            vals = jnp.where(ok, win + wl[None, :, :, None], INF)
+            acc = jnp.minimum(acc, jnp.min(vals, axis=1))
+        return acc
+
+    def _c_dense(name, h, rows_pad_lead):
+        """Dense-j view of C_name@h rows [lo, lo+IB): win[tt, sloc, lr, j]
+        with lr <-> l = lo + lr.  jd = j - i = j - (l - u) needs a +lr and
+        a -sloc shift: chain skew_right (by lr) with unskew_right (by
+        sloc), then a static (lo - loh) column shift."""
+        loh, hih, TBh, IBh, Lch = SEGS[h]
+        JDh = jd_of(hih)
+        nsh = hih - loh
+        A = st[f"C_{name}@{h}"]
+        off = lo - loh - 1                            # static
+        if not rows_pad_lead:
+            P = jax.lax.slice(A, (0, 0, off, 0),
+                              (TBh, nsh, off + IB, JDh))
+        else:  # h == gi: row l = lo is older-span territory, unset here
+            P = jax.lax.slice(A, (0, 0, 0, 0), (TBh, nsh, IB - 1, JDh))
+            P = _pad(P, 2, 1, 0, INT16_SAT)
+        # step 1: shift by +lr — skew over the (lr, jd) axes.
+        # col c1 = jd + lr = (j - base) + sloc with base = lo - loh.
+        Z = skew_right(P, INT16_SAT)                  # [.., lr, c1]
+        # step 2: shift by -sloc — unskew over the (sloc, col) axes.
+        # j - base can be NEGATIVE for history segments (j < lo - loh), so
+        # lead-pad by nsh columns first: u2 = j - base + nsh >= c1-sloc+nsh-... >= 0.
+        Zt = jnp.swapaxes(Z, 1, 2)                    # [tt, lr, sloc, c1]
+        Zt = _pad(Zt, 3, nsh, 0, INT16_SAT)           # c2 = c1 + nsh
+        base = lo - loh                               # static, >= 0
+        Aj = unskew_right(Zt, INT16_SAT, n2 - base + nsh)
+        # dense j sits at column u2 = j + (nsh - base)
+        shift = nsh - base
+        if shift >= 0:
+            win = Aj[..., shift: shift + n2]
+            if win.shape[-1] < n2:
+                win = _pad(win, 3, 0, n2 - win.shape[-1], INT16_SAT)
+        else:
+            win = _pad(Aj, 3, -shift, 0, INT16_SAT)[..., :n2]
+        return jnp.swapaxes(win, 1, 2)                # [tt, sloc, lr, j]
+
+    def RI(name, X, g1):
+        """min over d in [1, sj-g1] of C_[name][tt, s-d, l, j] + X(i, i+d-1);
+        C rows l in [lo, lo+IB)."""
+        acc = jnp.full((TB, IB, n2), NP_INF, dtype=jnp.int32)
+        l_val = lo + jnp.arange(IB)                       # actual l per row
+        i_val_t = l_val[None, :] - s                      # traced i = l - s
+        for h in range(gi + 1):
+            loh, hih, TBh, IBh, _Lch = SEGS[h]
+            nsh = hih - loh
+            win = _c_dense(name, h, rows_pad_lead=(lo - loh - 1 < 0))
+            win = win.astype(jnp.int32)
+            win = _pad(win, 0, 0, TB - TBh, I32_SAT)
+            u_h = loh + jnp.arange(nsh)
+            wi = g2(X, jnp.broadcast_to(i_val_t, (nsh, IB)),
+                    l_val[None, :] - u_h[:, None] - 1)    # [u, lr]
+            d_h = (s - u_h)[None, :, None, None]
+            sj2 = jv[0][None, None, :] - i_val_t[..., None]  # [1,1,IB,n2]
+            ok = ((d_h >= 1) & (d_h <= sj2 - g1)
+                  & (i_val_t[..., None] >= 1)[None])
+            vals = jnp.where(ok, win + wi[None, :, :, None], INF)
+            acc = jnp.minimum(acc, jnp.min(vals, axis=1))
+        # rows lr hold l = lo + lr; map to i rows (i = l - s) by shifting
+        sh = s - lo
+        return jax.lax.dynamic_slice(_pad(acc, 1, 0, IB, NP_INF),
+                                     (0, sh, 0), (TB, IB, n2))
+
+    # ---- MAXLOOP stencil windows (PL / PR) -------------------------------
+    def span_window(name, rows):
+        """[rows(tt'), DS, IB+DS, n2]: row r of axis1 = span s - DS + r."""
+        IW = IB + DS
+
+        def part(h):
+            loh, hih, TBh, IBh, _ = SEGS[h]
+            JDh = jd_of(hih)
+            A = st[f"{name}@{h}"]
+            Ap = _pad(A, 1, DS, 0, INT16_SAT)     # span-axis lead pad
+            w = jax.lax.dynamic_slice(
+                Ap, (0, jnp.clip(s - loh, 0, hih - loh), 0, 0),
+                (TBh, DS, min(IW, IBh), JDh))
+            if IW > IBh:
+                w = _pad(w, 2, 0, IW - IBh, INT16_SAT)
+            w = _pad(w, 0, 0, max(rows - TBh, 0), INT16_SAT)[:rows]
+            return _to_j(w, n2, INT16_SAT)        # row index == semantic i
+
+        cur = part(gi)
+        if gi > 0:
+            loh_p, hih_p, TBp, IBp, _ = SEGS[gi - 1]
+            JDp = jd_of(hih_p)
+            A = st[f"{name}@{gi - 1}"]
+            # trailing span pad: the window's tail rows (spans >= lo, taken
+            # from cur by the select below) would otherwise CLAMP this
+            # slice once s > lo and shift the real rows
+            Ap = _pad(A, 1, 0, DS, INT16_SAT)
+            w = jax.lax.dynamic_slice(
+                Ap, (0, s - DS - loh_p, 0, 0),
+                (TBp, DS, min(IB + DS, IBp), JDp))
+            if IB + DS > IBp:
+                w = _pad(w, 2, 0, IB + DS - IBp, INT16_SAT)
+            w = _pad(w, 0, 0, max(rows - TBp, 0), INT16_SAT)[:rows]
+            prev = _to_j(w, n2, INT16_SAT)
+            uu = s - DS + jnp.arange(DS)
+            return jnp.where((uu >= lo)[None, :, None, None], cur, prev)
+        return cur
+
+    # ---- PL stencil ------------------------------------------------------
+    plw = span_window("PL", TB + DS)
+    plw = jnp.flip(plw, axis=1)                      # row d1-1 = span s-d1
+    plw = _pad(plw, 2, 0, DS + 1, INT16_SAT)         # i slack for d1 shifts
+    V1 = jnp.stack([plw[:, d1 - 1, d1: d1 + IB, :]
+                    for d1 in range(1, DS + 1)], axis=1)   # [tt', d1, i, j]
+    W4PL = SC4["W4PL"][:, :, :IB, :]
+    pl_acc = jnp.full((TB, IB, n2), NP_INF, dtype=jnp.int32)
+    V1p = V1
+    for d2 in range(1, DS + 1):
+        sub = jax.lax.dynamic_slice(
+            V1p, (d2, 0, 0, 0), (TB, DS, IB, n2))
+        sub = _pad(sub, 3, d2, 0, INT16_SAT)[:, :, :, :n2]
+        vals = sub.astype(jnp.int32) + W4PL[None, :, d2 - 1]
+        pl_acc = jnp.minimum(pl_acc, jnp.min(vals, axis=1))
+    pl_int = pl_acc
+
+    pl_stack = jnp.where(
+        iv + TURN + 2 < jv,
+        rplane_big_all("PL", 1, 1, 1, -1) + g2(ESTP, iv, jv),
+        INF)
+    PLiloop = jnp.where(g2(canp, iv, jv) > 0,
+                        jnp.minimum(pl_stack, pl_int), INF)
+    PLmloop_v = jnp.minimum(
+        rplane_big_all("PLmloop10", 1, 1, 1, -1),
+        rplane_big_all("PLmloop01", 1, 1, 1, -1)) + ap + bp
+    PL_b3 = jnp.where(jv >= iv + TURN + 1,
+                      rplane_from_C("PfromL", 1, 1, 1, -1), INF)
+    PLv = jnp.where(g2(pt, iv, jv) > 0,
+                    mmin(PLiloop, PLmloop_v + bp, PL_b3), INF)
+    PLs = enc(PLv, valid4)
+
+    # ---- PR stencil ------------------------------------------------------
+    prw = span_window("PR", TB + DS)[:, :, :IB, :]
+    prw = jnp.flip(prw, axis=1)                      # row d2-1 = span s-d2
+    prm = jnp.moveaxis(prw, 0, -2)                   # [d2, i, tt', j]
+    pru = skew_right(prm, INT16_SAT)                 # [d2, i, tt', u]
+    wpr = jax.lax.dynamic_slice(
+        SC4["W4PR"], (0, 0, 2, s), (DS, DS, UB, IB))
+    wpr = jnp.transpose(wpr, (0, 1, 3, 2))           # [d1, d2, i, u]
+    pr_acc = jnp.full((IB, TB, UB), NP_INF, dtype=jnp.int32)
+    for d1 in range(1, DS + 1):
+        sub = pru[:, :, d1: d1 + TB, d1: d1 + UB]
+        vals = sub.astype(jnp.int32) + wpr[d1 - 1][:, :, None, :]
+        pr_acc = jnp.minimum(pr_acc, jnp.min(vals, axis=0))
+    pr_int_u = jnp.moveaxis(pr_acc, 0, 1)
+    pr_int = jnp.moveaxis(
+        unskew_right(jnp.moveaxis(pr_int_u, 1, 0), NP_INF, n2), 0, 1)
+
+    canp_kl = g2(canp, kv, lv)
+    pt_kl = g2(pt, kv, lv)
+    pr_stack = jnp.where(
+        kv + TURN + 2 < lv,
+        rplane_big_all("PR", 1, 1, 0, 0) + g2(ESTP, kv, lv),
+        INF)
+    PRiloop = jnp.where(canp_kl > 0, jnp.minimum(pr_stack, pr_int), INF)
+    PRmloop_v = jnp.minimum(
+        rplane_big_all("PRmloop10", 1, 1, 0, 0),
+        rplane_big_all("PRmloop01", 1, 1, 0, 0)) + ap + bp
+    PR_b3 = jnp.where(lv >= kv + TURN + 1,
+                      rplane_big_all("PfromR", 1, 1, 0, 0), INF)
+    PRv = jnp.where(pt_kl > 0, mmin(PRiloop, PRmloop_v + bp, PR_b3), INF)
+    PRs = enc(PRv, valid4)
+
+    # ---- PO --------------------------------------------------------------
+    po_stack = jnp.where(
+        (iv < jv) & (kv < lv),
+        rplane_big_all("PO", 0, 2, 1, 0) + g2(ESTP, iv, lv),
+        INF)
+    POiloop = jnp.where(g2(canp, iv, lv) > 0, po_stack, INF)
+    POmloop_v = jnp.minimum(
+        rplane_big_all("POmloop10", 0, 2, 1, 0),
+        rplane_big_all("POmloop01", 0, 2, 1, 0)) + ap + bp
+    PO_b3 = jnp.where(lv >= iv + TURN + 1,
+                      rplane_big_all("PfromO", 0, 2, 1, 0), INF)
+    POv = jnp.where(g2(pt, iv, lv) > 0,
+                    mmin(POiloop, POmloop_v + bp, PO_b3), INF)
+    POs = enc(POv, valid4)
+
+    # ---- cross-span-only families + reduction bases ----------------------
+    POm00 = mmin(SAT16 + bp, RI("POmloop00", WBt, 0), RL("POmloop00", WBt, 0))
+    POm01 = RL("POmloop00", WBPg, 0)
+    POm10 = jnp.minimum(RI("POmloop00", WBPg, 0), RL("POmloop10", WBt, 1))
+    PRm01 = jnp.minimum(rplane_big_all("PRmloop01", 0, 1, 0, 0) + cp,
+                        RL("PRmloop00", WBPg, 0))
+    PfromO = mmin(RI("PfromO", WPt, 1), RL("PfromO", WPt, 1),
+                  PLs + PB, PRs + PB)
+
+    basePLm00 = RI("PLmloop00", WBt, 0)
+    basePLm10 = RI("PLmloop00", WBPg, 0)
+    basePRm00 = RL("PRmloop00", WBt, 0)
+    basePMm01 = RL("PMmloop00", WBPg, 0)
+    basePMm10 = jnp.minimum(RI("PMmloop00", WBPg, 0),
+                            RL("PMmloop10", WBt, 1))
+    basePfromL = RI("PfromL", WPt, 1)
+    basePfromR = RL("PfromR", WPt, 1)
+
+    # ---- serial loop over tt (descending), identical to gapped4/5 --------
+    qv = jnp.arange(TB)[:, None, None]
+    ii1 = jnp.arange(IB)[None, :, None]
+    jj1 = jnp.arange(n2)[None, None, :]
+    UK = n2 + TB + 1
+    qq = jnp.arange(TB)[:, None]
+    aa = jnp.arange(UK)[None, :]
+    jrow = jnp.arange(n2)[None, :]
+    ttq = jnp.arange(TB)[:, None]
+
+    def g2b(X, a, b):
+        ok = (a >= 0) & (a < n2) & (b >= 0) & (b < n2)
+        v = X[jnp.clip(a, 0, n2 - 1), jnp.clip(b, 0, n2 - 1)]
+        return jnp.where(ok, v, INF)
+
+    WKX = {nm: g2b(X, jnp.broadcast_to(aa, (TB, UK)), aa + qq)
+           for nm, X in (("WP", WPt), ("WB", WBt), ("WBP", WBPg))}
+    WJX = {nm: g2b(X, jrow - qq, jnp.broadcast_to(jrow, (TB, n2)))
+           for nm, X in (("WP", WPt), ("WB", WBt), ("WBP", WBPg))}
+    CJK = g2b(canp, jnp.broadcast_to(jrow, (TB, n2)), jrow + ttq + 2)
+    PJK = g2b(pt, jnp.broadcast_to(jrow, (TB, n2)), jrow + ttq + 2)
+    EJK = g2b(ESTP, jnp.broadcast_to(jrow - 1, (TB, n2)), jrow + ttq + 3)
+
+    validp = _pad(valid4, 0, 0, TB + 2, False)
+    PLpad = _pad(PLs, 0, 0, 2, NP_INF)
+    PRpad = _pad(PRs, 0, 0, 2, NP_INF)
+    mdp = _pad(jnp.minimum(PLs, PRs) + PB, 0, 0, TB + 2, NP_INF)
+
+    def to_u(plane, tt):
+        return jax.lax.dynamic_update_slice(
+            jnp.full((IB, UB), NP_INF, jnp.int32), plane, (0, tt))
+
+    cur = {name: jnp.where(validp, jnp.int32(SAT16), NP_INF)
+           for name in LOOP_MATS}
+    for name in B4_MATS:
+        cur["B_" + name] = jnp.full((2 * TB + 2, IB, UB), NP_INF, jnp.int32)
+    cur["STM"] = jnp.full((TB + 2 * PADT4, IB, UB), NP_INF, jnp.int32)
+
+    jr = jv[0]
+    ir = iv[0]
+    i1r = jnp.arange(IB)[:, None]
+    u1r = jnp.arange(UB)[None, :]
+
+    def t_body(m, cur):
+        tt = s - 2 - m
+
+        wk = {nm: jax.lax.dynamic_slice(W, (0, tt + 2), (TB, n2))
+              for nm, W in WKX.items()}
+
+        def red_k(slab, w, k1):
+            rows = jax.lax.dynamic_slice(slab, (tt + 1, 0, 0), (TB, IB, n2))
+            vals = rows + w[:, None, :]
+            if k1:
+                vals = jnp.where(qv <= (s - 4 - tt) - jj1 + ii1, vals, INF)
+            return jnp.min(vals, axis=0)
+
+        def red_j(slabB, w, j1):
+            rows = jax.lax.dynamic_slice(slabB, (tt + 1, 0, tt),
+                                         (TB, IB, n2))
+            vals = rows + w[:, None, :]
+            if j1:
+                vals = jnp.where(qv <= jj1 - ii1 - 2, vals, INF)
+            return jnp.min(vals, axis=0)
+
+        def plane_cur(slab, c, dj):
+            sl = jax.lax.dynamic_slice(slab, (tt + c, 0, 0), (1, IB, n2))[0]
+            if dj == -1:
+                sl = _pad(sl, 1, 1, 0, NP_INF)[:, :n2]
+            return sl
+
+        def base_at(base):
+            return jax.lax.dynamic_slice(base, (tt, 0, 0), (1, IB, n2))[0]
+
+        out = {}
+        out["PLmloop00"] = mmin(SAT16 + bp, base_at(basePLm00),
+                                red_j(cur["B_PLmloop00"], WJX["WB"], False))
+        out["PLmloop01"] = red_j(cur["B_PLmloop00"], WJX["WBP"], False)
+        out["PLmloop10"] = jnp.minimum(
+            base_at(basePLm10), red_j(cur["B_PLmloop10"], WJX["WB"], True))
+        out["PRmloop00"] = mmin(SAT16 + bp, base_at(basePRm00),
+                                red_k(cur["PRmloop00"], wk["WB"], False))
+        out["PRmloop10"] = jnp.minimum(
+            plane_cur(cur["PRmloop10"], 1, 0) + cp,
+            red_k(cur["PRmloop00"], wk["WBP"], False))
+        out["PMmloop00"] = mmin(
+            SAT16 + bp,
+            red_j(cur["B_PMmloop00"], WJX["WB"], False),
+            red_k(cur["PMmloop00"], wk["WB"], False))
+        out["PMmloop01"] = jnp.minimum(
+            plane_cur(cur["PMmloop01"], 1, 0) + cp, base_at(basePMm01))
+        out["PMmloop10"] = jnp.minimum(
+            plane_cur(cur["PMmloop10"], 1, -1) + cp, base_at(basePMm10))
+
+        slPM = jax.lax.dynamic_slice(
+            cur["STM"], (tt + 2, 0, 0), (2 * DS, IB, UB))
+        dpm = jax.lax.dynamic_slice(
+            SC4["DPM"], (0, 0, tt, 0), (DS, DS, 1, U))[:, :, 0]
+        dpm = _pad(dpm, 2, 0, UB - U, NP_INF) if UB > U else dpm[:, :, :UB]
+        pm_acc = jnp.full((IB, UB), NP_INF, dtype=jnp.int32)
+        d1v = jnp.arange(1, DS + 1)[:, None, None]
+        for d2 in range(1, DS + 1):
+            sub = slPM[d2 - 1: d2 - 1 + DS]
+            sh2 = min(d2, UB)
+            subu = _pad(sub, 2, 0, sh2, NP_INF)[:, :, sh2:]
+            mask = ((d1v <= (u1r - tt) - i1r - 1)
+                    & (d2 <= (i1r + s - u1r - 2) - 1))
+            valsm = jnp.where(mask, subu + dpm[:, d2 - 1][:, None, :], INF)
+            pm_acc = jnp.minimum(pm_acc, jnp.min(valsm, axis=0))
+        pm_int = jax.lax.dynamic_slice(pm_acc, (0, tt), (IB, n2))
+
+        canp_jk = jax.lax.dynamic_slice(CJK, (tt, 0), (1, n2))
+        pt_jk = jax.lax.dynamic_slice(PJK, (tt, 0), (1, n2))
+        estp_jk = jax.lax.dynamic_slice(EJK, (tt, 0), (1, n2))
+        pm_stack = plane_cur(cur["PM"], 2, -1) + estp_jk
+        PMiloop = jnp.where(canp_jk > 0, jnp.minimum(pm_stack, pm_int), INF)
+        PMmloop_v = jnp.minimum(plane_cur(cur["PMmloop10"], 2, -1),
+                                plane_cur(cur["PMmloop01"], 2, -1)) + ap + bp
+        PM_b3 = plane_cur(cur["PfromM"], 2, -1)
+        PM_b4 = jnp.where((ir == jr) & (ir + s == jr + tt + 2), 0, INF)
+        PMv = jnp.where(pt_jk > 0,
+                        mmin(PMiloop, PMmloop_v + bp, PM_b3, PM_b4), INF)
+        out["PM"] = PMv
+
+        vmask = jax.lax.dynamic_slice(valid4, (tt, 0, 0), (1, IB, n2))[0]
+        PMs_t = enc(PMv, vmask)
+        PLs_t = jax.lax.dynamic_slice(PLpad, (tt, 0, 0), (1, IB, n2))[0]
+        PRs_t = jax.lax.dynamic_slice(PRpad, (tt, 0, 0), (1, IB, n2))[0]
+        POs_t = jax.lax.dynamic_slice(POs, (tt, 0, 0), (1, IB, n2))[0]
+
+        out["PfromL"] = mmin(
+            base_at(basePfromL),
+            red_j(cur["B_PfromL"], WJX["WP"], True),
+            PRs_t + PB, PMs_t + PB, POs_t + PB)
+        out["PfromR"] = mmin(
+            base_at(basePfromR),
+            red_k(cur["PfromR"], wk["WP"], True),
+            PMs_t + PB, POs_t + PB)
+        out["PfromM"] = red_j(cur["B_PfromMprime"], WJX["WP"], True)
+        out["PfromMprime"] = red_k(mdp, wk["WP"], True)
+        out["PK"] = mmin(
+            red_j(cur["B_PK"], WJX["WP"], True),
+            red_k(cur["PK"], wk["WP"], True),
+            PLs_t + PB, PMs_t + PB, PRs_t + PB, POs_t + PB)
+
+        new_cur = dict(cur)
+        for name in LOOP_MATS:
+            encp = enc(out[name], vmask)
+            new_cur[name] = cur[name].at[tt].set(encp)
+            if name in B4_MATS:
+                new_cur["B_" + name] = cur["B_" + name].at[tt].set(
+                    to_u(encp, tt))
+        new_cur["STM"] = cur["STM"].at[tt].set(to_u(enc(out["PM"], vmask), tt))
+        return new_cur
+
+    cur = jax.lax.fori_loop(0, jnp.maximum(s - 1, 0), t_body, cur)
+
+    # ---- write-back into segment gi (unskew to jd) -----------------------
+    JDg = jd_of(hi)
+
+    def pack(slab32):
+        v = jnp.clip(slab32[:TB], -32768, SAT16)
+        return jnp.where(valid4, v, SAT16).astype(jnp.int16)
+
+    packed = {name: pack(cur[name]) for name in LOOP_MATS}
+    for name, v in (("PL", PLv), ("PR", PRv), ("PO", POv),
+                    ("PRmloop01", PRm01), ("POmloop00", POm00),
+                    ("POmloop01", POm01), ("POmloop10", POm10),
+                    ("PfromO", PfromO)):
+        packed[name] = pack(v)
+
+    new_st = dict(st)
+    for name in M4_STORED:
+        ps = _from_j(packed[name], JDg, INT16_SAT)
+        new_st[f"{name}@{gi}"] = jax.lax.dynamic_update_slice(
+            st[f"{name}@{gi}"], ps[:, None], (0, s - lo, 0, 0))
+    for name in C_MATS:
+        # C rows: local row l - lo - 1 = (s - lo) + (i - 1); drop the
+        # (invalid) i = 0 row so the write starts at i = 1
+        cs = _from_j(packed[name], JDg, INT16_SAT)[:, 1:, :]
+        new_st[f"C_{name}@{gi}"] = jax.lax.dynamic_update_slice(
+            st[f"C_{name}@{gi}"], cs[:, None], (0, s - lo, s - lo, 0))
+    return update_pk_skews7(new_st, packed["PK"], s, n, SEGS)

@@ -104,9 +104,21 @@ class LazyMats:
         g = next(gi for gi, (lo, hi, *_r) in enumerate(self._segs)
                  if lo <= ss < hi)
         lo = self._segs[g][0]
+        n2 = self.n + 2
         if f"{name}@{g}" in self._dev:
-            return np.asarray(
+            raw = np.asarray(
                 _fetch_span(self._dev[f"{name}@{g}"], ss - lo))[:, 0]
+            if raw.shape[-1] < n2:
+                # lane-aware fill8 layout: minor axis is jd = j - i
+                # (engine/gapped6.py); expand to dense j for the traceback
+                T_, I_, JD = raw.shape
+                out = np.full((T_, I_, n2), SAT16, dtype=raw.dtype)
+                for i in range(I_):
+                    w = min(JD, n2 - i)
+                    if w > 0:
+                        out[:, i, i:i + w] = raw[:, i, :w]
+                return out
+            return raw
         if name == "PK":
             # PKD[tt, ss, i, a=j-i] -> slab[tt, i, j]
             d = np.asarray(_fetch_span(self._dev["PKD"], ss))[:, 0]
@@ -115,16 +127,23 @@ class LazyMats:
             for i in range(n2):
                 out[:, i, i:] = d[:, i, : n2 - i]
             return out
-        # C_name[tt, ss, lrow = l-lo-1, j] with l = i + ss:
-        # slab rows i are the contiguous C rows starting at ss - lo - 1
+        # C_name[tt, ss, lrow = l-lo-1, minor] with l = i + ss:
+        # slab rows i are the contiguous C rows starting at ss - lo - 1;
+        # the minor axis is dense j (fill7) or jd = j - i (fill8)
         c = np.asarray(_fetch_span(self._dev[f"C_{name}@{g}"], ss - lo))[:, 0]
-        T, Lc, n2 = c.shape
+        T, Lc, W = c.shape
         out = np.full((T, min(Lc, n2), n2), SAT16, dtype=c.dtype)
         base = ss - lo - 1
+        jd_packed = W < n2
         for i in range(out.shape[1]):
             r = base + i
             if 0 <= r < Lc:
-                out[:, i, :] = c[:, r, :]
+                if jd_packed:
+                    w = min(W, n2 - i)
+                    if w > 0:
+                        out[:, i, i:i + w] = c[:, r, :w]
+                else:
+                    out[:, i, :] = c[:, r, :]
         return out
 
     # ---- device-side P split (see module docstring) ----------------------

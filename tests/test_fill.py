@@ -155,3 +155,35 @@ def test_fill_matches_reference(seq, dangles, par, nogu, version):
                 f"{name}: {len(bad)} mismatches; first at (i,j,k,l)={tuple(bad[0])}: "
                 f"mine={mine[i,j,k,l]} ref={ref[i,j,k,l]}"
             )
+
+
+@pytest.mark.skipif(not os.environ.get("CCJ_SLOW"),
+                    reason="lane-aware fill8 vs fill6 at n=70 (3 segments) "
+                           "is minutes on CPU; CCJ_SLOW=1")
+def test_fill8_lane_packed_matches_fill6():
+    """The jd-packed (lane-aware) storage must be bit-equal to the dense
+    engine: canonical families compared through the (i, jd) -> (i, j)
+    expansion, C skews row-by-row, PKD directly (engine/gapped6.py)."""
+    from ccj_tpu.engine.gapped5 import M4_STORED, segments7
+    from ccj_tpu.engine.gapped6 import jd_of
+
+    n = 70
+    rng = __import__("random").Random(42)
+    seq = "".join(rng.choice("ACGU") for _ in range(n))
+    m6 = run_mine(seq, version=6)
+    m8 = run_mine(seq, version=8)
+    SEGS = segments7(n)
+    n2 = n + 2
+    for name in ("V", "WM", "WMv", "WMp", "P2", "WBP", "WPP", "PKD"):
+        np.testing.assert_array_equal(m6[name], m8[name], name)
+    for name in M4_STORED:
+        for g, (lo, hi, TB, IB, Lc) in enumerate(SEGS):
+            JD = jd_of(hi)
+            dense = m6[name][:TB, lo:hi, :IB, :]
+            packed = m8[f"{name}@{g}"]
+            for i in range(IB):
+                w = min(JD, n2 - i)
+                if w > 0:
+                    np.testing.assert_array_equal(
+                        dense[:, :, i, i:i + w], packed[:, :, i, :w],
+                        f"{name}@{g} i={i}")

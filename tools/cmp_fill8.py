@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Dev harness: compare fill8 (lane-aware packed) against fill6 (dense)
+cell-by-cell at a given length.  Usage: python tools/cmp_fill8.py [n]."""
+import random
+import sys
+
+import numpy as np
+
+from ccj_tpu.engine.fold import run_fill
+from ccj_tpu.engine.gapped2 import C_MATS
+from ccj_tpu.engine.gapped5 import M4_STORED, segments7
+from ccj_tpu.engine.gapped6 import jd_of
+from ccj_tpu.params import DEFAULT_PK, default_tables, scale_parameters
+from ccj_tpu.precompute import build_seq_tables
+
+n = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+rng = random.Random(42)
+seq = "".join(rng.choice("ACGU") for _ in range(n))
+sp = scale_parameters(default_tables())
+tabs = build_seq_tables(seq, sp, DEFAULT_PK)
+m6 = run_fill(tabs, sp, DEFAULT_PK, version=6)
+m8 = run_fill(tabs, sp, DEFAULT_PK, version=8)
+SEGS = segments7(n)
+n2 = n + 2
+ok = True
+
+for nm in ("V", "Vtype", "WM", "WMv", "WMp", "P2", "WBP", "WPP", "PKD"):
+    if not np.array_equal(m6[nm], m8[nm]):
+        print(f"MISMATCH {nm}")
+        ok = False
+print("2D+PKD:", "ok" if ok else "FAIL")
+
+
+def dense8(name, g):
+    lo, hi, TB, IB, Lc = SEGS[g]
+    JD = jd_of(hi)
+    p = m8[f"{name}@{g}"]
+    out = np.full((TB, hi - lo, IB, n2), 32767, dtype=p.dtype)
+    for i in range(IB):
+        w = min(JD, n2 - i)
+        if w > 0:
+            out[:, :, i, i:i + w] = p[:, :, i, :w]
+    return out
+
+
+total = 0
+first = None
+for g, (lo, hi, TB, IB, Lc) in enumerate(SEGS):
+    for name in M4_STORED:
+        neq = m6[name][:TB, lo:hi, :IB, :] != dense8(name, g)
+        if neq.any():
+            total += int(neq.sum())
+            if first is None:
+                idx = np.argwhere(neq)[0]
+                first = (name, g, tuple(int(x) for x in idx))
+print("canonical mismatches:", total, "first:", first)
+ok = ok and total == 0
+
+cbad = 0
+cfirst = None
+for g, (lo, hi, TB, IB, Lc) in enumerate(SEGS):
+    JD = jd_of(hi)
+    for name in C_MATS:
+        cp8 = m8[f"C_{name}@{g}"]
+        cd6 = m6["C_" + name]
+        for u in range(lo, hi):
+            for lloc in range(Lc):
+                l = lo + 1 + lloc
+                if l >= n2:
+                    break
+                i = l - u
+                if i < 0 or i >= n2:
+                    continue
+                w = min(JD, n2 - i)
+                if w <= 0:
+                    continue
+                if not np.array_equal(cd6[:TB, u, l, i:i + w],
+                                      cp8[:TB, u - lo, lloc, :w]):
+                    cbad += 1
+                    if cfirst is None:
+                        cfirst = (name, g, u, lloc)
+print("C mismatched rows:", cbad, "first:", cfirst)
+ok = ok and cbad == 0
+print("RESULT:", "PASS" if ok else "FAIL")
+sys.exit(0 if ok else 1)
