@@ -74,3 +74,27 @@ def fill4_sharded(Cp, SC4, n: int, dangles: int, mesh: Mesh):
         st = span_step4(Cp, SC4, st, s, n=n, dangles=dangles, TB=TB, IB=IB)
         st["V"].block_until_ready()
     return st
+
+
+def fill8_sharded(Cp, SC4, n: int, dangles: int, SEGS, mesh: Mesh):
+    """The lane-aware packed fill (engine/gapped6.py) with every segment's
+    state partitioned over the ``wave`` mesh axis — the shipping
+    long-sequence engine, sharded (config 3 at scale).
+
+    Partition axis: the i axis (axis 2) of each ``name@g`` / ``PKE@g``
+    block, the l-row axis of the ``C_name@g`` skews, and PKD's i axis; the
+    O(n^2) triangle matrices stay replicated.  All same-span reductions
+    are i-local; the (i, jd) <-> (i, j) skew reshapes and the +-1/stencil
+    shifts become XLA-inserted collectives over ICI.  Bit-equality vs the
+    unsharded fill8 is asserted in tests/test_wavefront_shard.py.
+    """
+    from ..engine.fold import _fill8_inner, init_state_2d
+    from ..engine.gapped6 import init_big_state8
+
+    st = init_state_2d(n)
+    # i axes padded to a device-count multiple so the NamedSharding
+    # divides evenly (GSPMD silently degrades uneven splits)
+    st.update(init_big_state8(n, SEGS, pad_i=mesh.size))
+    st = {k: jax.device_put(v, wave_sharding(mesh, v.ndim))
+          for k, v in st.items()}
+    return _fill8_inner(Cp, SC4, st, n, dangles, SEGS)

@@ -413,34 +413,49 @@ def fill7(C, SC4, n: int, dangles: int, SEGS):
     return _fill7_inner(C, SC4, st, n, dangles, SEGS)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "dangles", "SEGS"),
+@functools.partial(jax.jit, static_argnames=("n", "dangles", "SEGS", "gi"),
                    donate_argnames=("st",))
-def _fill8_inner(C, SC4, st, n: int, dangles: int, SEGS):
+def _fill8_segment(C, SC4, st, n: int, dangles: int, SEGS, gi: int):
+    """All spans of segment ``gi`` in one executable.
+
+    One executable PER SEGMENT (not one for the whole fill): a single
+    whole-fill program holds every segment body's temporaries in one
+    allocation plan — measured 8.19 GB of HLO temp at n=150 of which
+    4.16 GB was pure fragmentation, OOMing a fill whose arguments were
+    only 8.6 GB.  Per-segment programs plan only their own temp shapes
+    (~5 extra dispatches, irrelevant next to multi-second span loops).
+    """
     from .gapped import compute_WBP_WPP_span
     from .gapped6 import compute_P_span7, span_gapped8
 
     C = {**C, "n": n}
-    for gi, (lo, hi, TBg, IBg, _Lc) in enumerate(SEGS):
-        def body(s, st, gi=gi, hi=hi):
-            st = compute_V_span(C, st, s, dangles)
-            st = compute_P_span7(C, st, s, SEGS, s_cap=hi)
-            st = compute_WBP_WPP_span(C, st, s)
-            st = span_gapped8(C, SC4, st, s, gi, SEGS)
-            return compute_WMv_WMp_WM_span(C, st, s, dangles)
+    lo, hi = SEGS[gi][0], SEGS[gi][1]
 
-        st = jax.lax.fori_loop(lo, hi, body, st)
+    def body(s, st):
+        st = compute_V_span(C, st, s, dangles)
+        st = compute_P_span7(C, st, s, SEGS, s_cap=hi)
+        st = compute_WBP_WPP_span(C, st, s)
+        st = span_gapped8(C, SC4, st, s, gi, SEGS)
+        return compute_WMv_WMp_WM_span(C, st, s, dangles)
+
+    return jax.lax.fori_loop(lo, hi, body, st)
+
+
+def _fill8_inner(C, SC4, st, n: int, dangles: int, SEGS):
+    for gi in range(len(SEGS)):
+        st = _fill8_segment(C, SC4, st, n, dangles, SEGS, gi)
     return st
 
 
 def fill8(C, SC4, n: int, dangles: int, SEGS):
-    """Lane-aware segment-packed whole fill, ONE dispatch (the long-
-    sequence engine past the 128-lane boundary).
+    """Lane-aware segment-packed fill, one dispatch per segment (the
+    long-sequence engine past the 128-lane boundary).
 
-    Same single-dispatch structure as fill7, but each family's minor axis
-    is jd = j - i with per-segment extent hi_g - 2 (engine/gapped6.py):
-    the minor axis stays lane-exact past n = 126, restoring the length
-    reach the reference gets from simplex packing
-    (reference: src/matrices.hh:148-231).  State donated as in fill7.
+    Each family's minor axis is jd = j - i with per-segment extent
+    hi_g - 2 (engine/gapped6.py): the minor axis stays lane-exact past
+    n = 126, restoring the length reach the reference gets from simplex
+    packing (reference: src/matrices.hh:148-231).  State is donated
+    dispatch-to-dispatch so it never copies.
     """
     from .gapped6 import init_big_state8
 

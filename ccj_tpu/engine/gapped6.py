@@ -75,25 +75,61 @@ def _from_j(dense, JD, fill):
     return unskew_right(dense, fill, JD)
 
 
-def init_big_state8(n: int, SEGS):
-    """Per-segment jd-packed arrays + the v5 PK diagonal skews."""
+def init_big_state8(n: int, SEGS, pad_i: int = 1):
+    """Per-segment jd-packed arrays + the v5 PK diagonal skews.
+
+    ``pad_i`` rounds every i/l-row axis (the ``wave`` sharding axis) up to
+    a multiple, so an n_devices-way NamedSharding divides evenly; padded
+    rows hold the unset value and are never read (every access slices the
+    exact SEGS extents)."""
+    def rp(x):
+        return ((x + pad_i - 1) // pad_i) * pad_i
+
     n2, T, S, U = dims(n)
     st = {}
     for g, (lo, hi, TB, IB, Lc) in enumerate(SEGS):
         ns = hi - lo
         JD = jd_of(hi)
         for m in M4_STORED:
-            st[f"{m}@{g}"] = jnp.full((TB, ns, IB, JD), SAT16,
+            st[f"{m}@{g}"] = jnp.full((TB, ns, rp(IB), JD), SAT16,
                                       dtype=jnp.int16)
         for m in C_MATS:
-            st[f"C_{m}@{g}"] = jnp.full((TB, ns, Lc, JD), SAT16,
+            st[f"C_{m}@{g}"] = jnp.full((TB, ns, rp(Lc), JD), SAT16,
                                         dtype=jnp.int16)
         TBE = max(min(n - lo, T), 1)
         IBE = n - lo + 2
-        st[f"PKE@{g}"] = jnp.full((TBE, ns, IBE, n2), SAT16,
+        st[f"PKE@{g}"] = jnp.full((TBE, ns, rp(IBE), n2), SAT16,
                                   dtype=jnp.int16)
-    st["PKD"] = jnp.full((T, S, n2, n2), SAT16, dtype=jnp.int16)
+    st["PKD"] = jnp.full((T, S, rp(n2), n2), SAT16, dtype=jnp.int16)
     return st
+
+
+def update_pk_skews8(st, pk16, s, n, SEGS):
+    """update_pk_skews7 made robust to i-axis padding (init pad_i > 1):
+    per-segment PKE extents come from the arrays, not recomputed."""
+    n2, T, S, U = dims(n)
+    TBp, IBp = pk16.shape[0], pk16.shape[1]
+    slab = unskew_right(pk16, INT16_SAT, n2)          # [TBp, i, a]
+    slab = jnp.pad(slab, ((0, T - TBp), (0, n2 - IBp), (0, 0)),
+                   constant_values=INT16_SAT)
+    new = dict(st)
+    new["PKD"] = jax.lax.dynamic_update_slice(
+        st["PKD"], slab[:, None], (0, s, 0, 0))
+    for h, (lo, hi, *_r) in enumerate(SEGS):
+        ns = hi - lo
+        A = st[f"PKE@{h}"]
+        TBE, _, IBE_a, _ = A.shape
+        sl = slab[:TBE]
+        if IBE_a > sl.shape[1]:
+            sl = _pad(sl, 1, 0, IBE_a - sl.shape[1], INT16_SAT)
+        sl = sl[:, :IBE_a]
+        tti = jnp.arange(TBE)
+        mloc = s - lo - tti
+        okm = (mloc >= 0) & (mloc < ns)
+        mcl = jnp.clip(mloc, 0, ns - 1)
+        new[f"PKE@{h}"] = A.at[tti, mcl].set(
+            jnp.where(okm[:, None, None], sl, A[tti, mcl]))
+    return new
 
 
 def span_gapped8(C, SC4, st, s, gi: int, SEGS):
@@ -600,4 +636,4 @@ def span_gapped8(C, SC4, st, s, gi: int, SEGS):
         cs = _from_j(packed[name], JDg, INT16_SAT)[:, 1:, :]
         new_st[f"C_{name}@{gi}"] = jax.lax.dynamic_update_slice(
             st[f"C_{name}@{gi}"], cs[:, None], (0, s - lo, s - lo, 0))
-    return update_pk_skews7(new_st, packed["PK"], s, n, SEGS)
+    return update_pk_skews8(new_st, packed["PK"], s, n, SEGS)

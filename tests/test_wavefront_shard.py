@@ -63,3 +63,68 @@ def test_sharded_fill_matches_unsharded():
                          capture_output=True, timeout=1500)
     assert res.returncode == 0, res.stderr.decode()[-3000:]
     assert b"wavefront-shard-ok" in res.stdout
+
+
+_CHILD8 = r"""
+import numpy as np
+
+import jax
+from jax.sharding import Mesh
+
+from ccj_tpu.engine.fold import best_fill, build_consts, prune_consts
+from ccj_tpu.engine.gapped4 import build_sc4
+from ccj_tpu.engine.gapped5 import segments7
+from ccj_tpu.dist.wavefront import fill8_sharded
+from ccj_tpu.params import DEFAULT_PK, parse_par, scale_parameters
+from ccj_tpu.precompute import build_seq_tables
+
+import random
+rng = random.Random(42)
+SEQ = "".join(rng.choice("ACGU") for _ in range(34))  # 2 packed segments
+
+assert len(jax.devices()) >= 8, jax.devices()
+sp = scale_parameters(parse_par("ccj_tpu/params/rna_DirksPierce09.par"))
+tabs = build_seq_tables(SEQ, sp, DEFAULT_PK)
+SEGS = segments7(tabs.n)
+assert len(SEGS) == 2, SEGS
+ref = {k: np.asarray(v)
+       for k, v in best_fill(tabs, sp, DEFAULT_PK, 8)().items()}
+
+mesh = Mesh(np.asarray(jax.devices()[:8]), ("wave",))
+import jax.numpy as jnp
+Cp = prune_consts(build_consts(tabs, sp, DEFAULT_PK, device=False),
+                  sp.dangles, 6)
+Cp = {k: jax.device_put(jnp.asarray(v)) for k, v in Cp.items()}
+SC4 = build_sc4(tabs)
+st = fill8_sharded(Cp, SC4, tabs.n, sp.dangles, SEGS, mesh)
+
+# the i axis of the packed state is genuinely partitioned 8 ways
+assert len(st["PL@0"].addressable_shards) == 8
+shard_shapes = {sh.data.shape for sh in st["PL@0"].addressable_shards}
+full = st["PL@0"].shape
+assert all(s[2] == full[2] // 8 for s in shard_shapes), shard_shapes
+
+for name in ref:
+    a = ref[name]
+    b = np.asarray(st[name])
+    if a.shape != b.shape:   # pad_i=8 rounds the i axes up
+        b = b[tuple(slice(0, d) for d in a.shape)]
+    np.testing.assert_array_equal(b, a, name)
+print("wavefront-shard8-ok")
+"""
+
+
+def test_sharded_packed_fill8_matches_unsharded():
+    """The SHIPPING long-sequence engine (lane-aware fill8) sharded over
+    ``wave`` equals the unsharded packed fill bit-for-bit, cross-segment
+    reads included (round-4 VERDICT missing #2)."""
+    env = dict(os.environ)
+    env["CCJ_TPU_PLATFORM"] = "cpu"
+    env["CCJ_COMPILE_CACHE"] = "0"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    env["PYTHONPATH"] = str(REPO)
+    res = subprocess.run([sys.executable, "-c", _CHILD8], env=env, cwd=REPO,
+                         capture_output=True, timeout=1500)
+    assert res.returncode == 0, res.stderr.decode()[-3000:]
+    assert b"wavefront-shard8-ok" in res.stdout
