@@ -116,33 +116,53 @@ def run_single(n, repeats=3, version=None, trace_dir=None):
     return best, compile_s
 
 
-def run_batch(n=60, batch=2, repeats=2):
-    """Data-parallel batch fold (single-dispatch vmapped fill6): seqs/s."""
+def run_batch(n=60, batch=8, repeats=2):
+    """Multi-sequence fold throughput (fills only): seqs/s.
+
+    Measures the structure api.fold_many uses: ONE compiled fill6
+    executable serving every sequence in the length bucket, dispatched
+    back-to-back (round 4's vmapped batch fill was measured 4x slower
+    PER ELEMENT than the plain fill on the real chip and was retired
+    from the single-chip path)."""
     import jax
     import numpy as np
 
-    from ccj_tpu.dist.batch import batched_fill6
+    from ccj_tpu.dist.batch import bucket_for
+    from ccj_tpu.engine.fold import best_fill
     from ccj_tpu.params import DEFAULT_PK, parse_par, scale_parameters
+    from ccj_tpu.precompute import build_seq_tables, pad_seq_tables
 
     sp = scale_parameters(
         parse_par(Path(__file__).parent / "ccj_tpu" / "params"
                   / "rna_DirksPierce09.par"))
     rng = random.Random(7)
     seqs = ["".join(rng.choice("ACGU") for _ in range(n)) for _ in range(batch)]
-    out, n_pad = batched_fill6(seqs, sp, DEFAULT_PK)  # compile + warm
-    jax.block_until_ready(out)
-    assert int(np.asarray(out["V"][0, 1, n])) < 10_000_001
+    b = bucket_for(n)
+    fns = []
+    for s in seqs:
+        tabs = pad_seq_tables(build_seq_tables(s, sp, DEFAULT_PK), b, sp,
+                              DEFAULT_PK)
+        fns.append(best_fill(tabs, sp, DEFAULT_PK, version=6))
+    st = fns[0]()  # compile + warm (one executable serves the bucket)
+    jax.block_until_ready(st)
+    assert int(np.asarray(st["V"][1, n])) < 10_000_001
+    del st
+    gc.collect()
     best = float("inf")
     for _ in range(repeats):
-        del out
-        gc.collect()
         t0 = time.time()
-        out, _ = batched_fill6(seqs, sp, DEFAULT_PK)
-        jax.block_until_ready(out)
+        live = []
+        for fn in fns:                     # dispatch 2 fills ahead, then
+            live.append(fn())              # free: ~1 GB of state each
+            if len(live) > 2:
+                s0 = live.pop(0)
+                s0["V"].block_until_ready()
+                del s0
+        for s0 in live:
+            s0["V"].block_until_ready()
         best = min(best, time.time() - t0)
-    assert int(np.asarray(out["V"][0, 1, n])) < 10_000_001
-    del out
-    gc.collect()
+        del live, s0
+        gc.collect()
     return batch / best
 
 
@@ -241,12 +261,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace", default=None,
                     help="dump a jax.profiler trace of one timed fill here")
-    ap.add_argument("--sizes", default="126,100,60",
+    ap.add_argument("--sizes", default="150,126,110,100,60",
                     help="fill sizes, headline first (= first success); "
-                         "126 runs the packed fill7 engine")
-    ap.add_argument("--batch", type=int, default=2,
+                         "n>110 runs the lane-aware packed fill8 engine "
+                         "(150 was beyond the round-4 single-chip ceiling); "
+                         "110 pins the formerly-trapped 101-125 range")
+    ap.add_argument("--batch", type=int, default=8,
                     help="batch size for the n=60 batch bench (0 disables); "
-                         "2 fits HBM alongside the warm fill executables")
+                         "fills stream with 2 in flight, so any batch "
+                         "size fits HBM")
     ap.add_argument("--proc-scaling", type=int, default=1,
                     help="run the 1-vs-2-process CPU corpus scaling bench")
     ap.add_argument("--engine", type=int, default=None,

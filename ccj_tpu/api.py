@@ -156,20 +156,31 @@ def fold_many(
     temperature: float = 37.0,
     batch_limit: int = 8,
 ):
-    """Fold a list of sequences with data-parallel batched device fills.
+    """Fold a list of sequences, pipelining device fills with host
+    tracebacks.
 
-    Sequences are grouped by length bucket; each group runs through ONE
-    vmapped single-dispatch fill (dist.batch.batched_fill6) in chunks of
-    ``batch_limit``, then each sequence's matrices feed the host traceback.
-    Results keep input order.  This replaces len(seqs) sequential fills
-    with ceil(len/batch_limit) device dispatches per bucket — the batch
-    analogue of the reference's one-sequence-per-process CLI
-    (reference: src/CCJ.cc:67-72).
+    Sequences are grouped by length bucket so ONE compiled fill6
+    executable serves every sequence in a bucket (tables are arguments);
+    fills are dispatched one sequence ahead of the host traceback, so the
+    device computes sequence k+1 while the host walks sequence k.
+    Results keep input order.
+
+    Round-4's vmapped batch fill was measured 4x SLOWER per element than
+    the plain fill on the real chip (batch=1: 2.2 s vs 0.52 s at n=64)
+    and scaled linearly with batch size — on one chip the fills are
+    compute-bound, so vmap amortizes nothing and its batched
+    slice/update patterns lower worse.  The vmapped path remains in
+    dist/batch.py for multi-device data-parallel meshes, where each
+    device runs its own batch element (reference point: the reference
+    folds one sequence per process, src/CCJ.cc:67-72).
+
+    ``batch_limit`` caps how many fills' device state may be live at
+    once (the dense n<=110 state is ~1 GB per sequence).
     """
-    import numpy as np
-
-    from .dist.batch import batched_fill6, bucket_for
-    from .engine.fold import DENSE_MAX_N
+    from .dist.batch import bucket_for
+    from .engine.fold import DENSE_MAX_N, best_fill
+    from .engine.lazy import LazyMats
+    from .precompute import pad_seq_tables
 
     prepped = []
     for idx, seq0 in enumerate(seqs):
@@ -187,9 +198,7 @@ def fold_many(
     for idx, seq in prepped:
         b = bucket_for(len(seq))
         if b > DENSE_MAX_N:
-            # one long sequence must not pad the whole batch into the dense
-            # O(n^4) vmapped fill (tens of GB per element past n~110); fold
-            # it individually through the packed single-sequence engine
+            # long sequences run the packed single-sequence engine
             long_items.append((idx, seq))
         else:
             groups.setdefault(b, []).append((idx, seq))
@@ -199,19 +208,24 @@ def fold_many(
         results[idx] = fold(seq, dangles=dangles, param_file=param_file,
                             no_gu=no_gu, no_conv=no_conv, pk=pk,
                             temperature=temperature)
+
+    depth = max(1, min(batch_limit, 2))   # fills in flight ahead of the host
     for b in sorted(groups):
         items = groups[b]
-        for lo in range(0, len(items), batch_limit):
-            chunk = items[lo: lo + batch_limit]
-            st, _ = batched_fill6([s for _, s in chunk], sp, pk,
-                                  no_gu=no_gu, pad_to=b)
-            for bi, (idx, seq) in enumerate(chunk):
-                mats = {k: np.asarray(v[bi]) for k, v in st.items()}
+        pending = []                       # [(idx, seq, tabs, state)]
+        for idx, seq in items + [(None, None)]:
+            if seq is not None:
                 tabs = build_seq_tables(seq, sp, pk, no_gu=no_gu)
-                e_dcal, structure = Traceback(tabs, sp, pk, mats).run()
-                results[idx] = FoldResult(seq=seq, structure=structure,
-                                          energy=e_dcal / 100.0,
-                                          energy_dcal=e_dcal)
+                tabs_fill = pad_seq_tables(tabs, b, sp, pk, no_gu=no_gu)
+                st = best_fill(tabs_fill, sp, pk)()   # async dispatch
+                pending.append((idx, seq, tabs, tabs_fill, st))
+            while pending and (len(pending) > depth or seq is None):
+                pidx, pseq, ptabs, ptfill, pst = pending.pop(0)
+                mats = LazyMats(pst, ptfill.n)
+                e_dcal, structure = Traceback(ptabs, sp, pk, mats).run()
+                results[pidx] = FoldResult(seq=pseq, structure=structure,
+                                           energy=e_dcal / 100.0,
+                                           energy_dcal=e_dcal)
     return results
 
 

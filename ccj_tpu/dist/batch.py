@@ -153,12 +153,12 @@ def _stack_v4_consts(seqs, P_: ScaledParams, pk: PKPenalties, no_gu=False,
 
 @functools.partial(jax.jit, static_argnames=("n", "dangles", "mesh"))
 def _batched_fill6(Cb, SC4b, n: int, dangles: int, mesh: Mesh | None = None):
-    from ..engine.fold import fill6
+    from ..engine.fold import fill6_whole
 
     axes = ({k: (None if jnp.ndim(v) == 0 else 0) for k, v in Cb.items()},
             {k: 0 for k in SC4b})
     out = jax.vmap(
-        lambda C, SC: fill6.__wrapped__(C, SC, n, dangles), in_axes=axes
+        lambda C, SC: fill6_whole(C, SC, n, dangles), in_axes=axes
     )(Cb, SC4b)
     if mesh is not None:
         spec = NamedSharding(mesh, P("data"))

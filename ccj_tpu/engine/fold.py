@@ -337,22 +337,25 @@ def _clear_checkpoint(path):
 
 @functools.partial(jax.jit, static_argnames=("n", "dangles"))
 def fill6(C, SC4, n: int, dangles: int):
-    """Whole v4 fill as ONE executable / ONE dispatch.
-
-    The span loop is split at the static bucket boundaries: a python-level
-    loop over ``bucket_segments(n)`` emits one fori_loop per (TB, IB)
-    bucket, so every span body has static shapes and the state threads
-    through XLA's loop-carry aliasing with no copies — and, unlike fill5,
-    with no lax.switch around the carried O(n^4) state (which made XLA
-    duplicate the whole dict per span).
+    """Whole v4 fill as ONE executable / ONE dispatch (fill6_whole jitted).
 
     One dispatch matters beyond launch overhead amortization: the first
     device->host transfer of a process drops the accelerator-tunnel runtime
-    into a mode where EVERY subsequent dispatch costs tens of ms (measured
-    ~30-85 ms flat, sticky for the process lifetime).  A per-span host loop
-    (fill4) therefore runs ~300x slower than device speed after any fold
-    has read results back; a single dispatch pays that penalty once.
+    into a mode where EVERY subsequent dispatch costs tens of ms.  A
+    per-bucket split (tried in round 5, mirroring _fill8_segment) made the
+    n=100 fill OOM instead: each bucket program received the 27 big state
+    arrays as donated arguments and inserted ~8 GB of entry/exit LAYOUT
+    COPIES for the layouts its loop preferred.  One program lets XLA pick
+    one consistent layout for the whole fill — the packed fill8 splits per
+    segment because its segments genuinely use different array sets.
     """
+    return fill6_whole(C, SC4, n, dangles)
+
+
+def fill6_whole(C, SC4, n: int, dangles: int):
+    """The whole dense fill as one traceable function — the jit target of
+    fill6 and the vmap target of the multi-device data-parallel batch path
+    (dist/batch.batched_fill6)."""
     from .gapped import compute_WBP_WPP_span
     from .gapped3 import compute_P_span3
     from .gapped4 import init_big_state4, span_gapped4
@@ -472,14 +475,16 @@ DENSE_MAX_N = 110
 
 def default_version(n: int | None = None) -> int:
     """Engine selection: CCJ_ENGINE overrides; default is the single-
-    dispatch fill6, or the packed fill7 beyond the dense HBM reach."""
+    dispatch fill6, or the lane-aware packed fill8 beyond the dense HBM
+    reach (n=134/150 anchors byte-identical on chip; fill7's 128-lane
+    ceiling capped it at n=126)."""
     import os
 
     v = os.environ.get("CCJ_ENGINE")
     if v is not None:
         return int(v)
     if n is not None and n > DENSE_MAX_N:
-        return 7
+        return 8
     return 6
 
 

@@ -222,6 +222,19 @@ def span_gapped7(C, SC4, st, s, gi: int, SEGS):
 
     WBt, WPt, WBPg, WPPg = _wx_tables(C, st)
 
+    # gather-free pair/energy planes (see ttloop.py)
+    from .ttloop import diag_il, plane_ij, plane_kl
+
+    ESTP_ij = plane_ij(ESTP, TB, IB)
+    canp_ij = plane_ij(canp, TB, IB)
+    pt_ij = plane_ij(pt, TB, IB)
+    canp_klp = plane_kl(canp, s, TB, IB, n2)
+    pt_klp = plane_kl(pt, s, TB, IB, n2)
+    ESTP_klp = plane_kl(ESTP, s, TB, IB, n2)
+    canp_il = diag_il(canp, s, TB, IB, n2)
+    pt_il = diag_il(pt, s, TB, IB, n2)
+    ESTP_il = diag_il(ESTP, s, TB, IB, n2)
+
     def g2(X, a, b):
         ok = (a >= 0) & (a < n2) & (b >= 0) & (b < n2)
         v = X[jnp.clip(a, 0, n2 - 1), jnp.clip(b, 0, n2 - 1)]
@@ -406,16 +419,16 @@ def span_gapped7(C, SC4, st, s, gi: int, SEGS):
 
     pl_stack = jnp.where(
         iv + TURN + 2 < jv,
-        rplane_big_all("PL", 1, 1, 1, -1) + g2(ESTP, iv, jv),
+        rplane_big_all("PL", 1, 1, 1, -1) + ESTP_ij,
         INF)
-    PLiloop = jnp.where(g2(canp, iv, jv) > 0,
+    PLiloop = jnp.where(canp_ij > 0,
                         jnp.minimum(pl_stack, pl_int), INF)
     PLmloop_v = jnp.minimum(
         rplane_big_all("PLmloop10", 1, 1, 1, -1),
         rplane_big_all("PLmloop01", 1, 1, 1, -1)) + ap + bp
     PL_b3 = jnp.where(jv >= iv + TURN + 1,
                       rplane_from_C("PfromL", 1, 1, 1, -1), INF)
-    PLv = jnp.where(g2(pt, iv, jv) > 0,
+    PLv = jnp.where(pt_ij > 0,
                     mmin(PLiloop, PLmloop_v + bp, PL_b3), INF)
     PLs = enc(PLv, valid4)
 
@@ -436,11 +449,11 @@ def span_gapped7(C, SC4, st, s, gi: int, SEGS):
     pr_int = jnp.moveaxis(
         unskew_right(jnp.moveaxis(pr_int_u, 1, 0), NP_INF, n2), 0, 1)
 
-    canp_kl = g2(canp, kv, lv)
-    pt_kl = g2(pt, kv, lv)
+    canp_kl = canp_klp
+    pt_kl = pt_klp
     pr_stack = jnp.where(
         kv + TURN + 2 < lv,
-        rplane_big_all("PR", 1, 1, 0, 0) + g2(ESTP, kv, lv),
+        rplane_big_all("PR", 1, 1, 0, 0) + ESTP_klp,
         INF)
     PRiloop = jnp.where(canp_kl > 0, jnp.minimum(pr_stack, pr_int), INF)
     PRmloop_v = jnp.minimum(
@@ -454,15 +467,15 @@ def span_gapped7(C, SC4, st, s, gi: int, SEGS):
     # ---- PO --------------------------------------------------------------
     po_stack = jnp.where(
         (iv < jv) & (kv < lv),
-        rplane_big_all("PO", 0, 2, 1, 0) + g2(ESTP, iv, lv),
+        rplane_big_all("PO", 0, 2, 1, 0) + ESTP_il,
         INF)
-    POiloop = jnp.where(g2(canp, iv, lv) > 0, po_stack, INF)
+    POiloop = jnp.where(canp_il > 0, po_stack, INF)
     POmloop_v = jnp.minimum(
         rplane_big_all("POmloop10", 0, 2, 1, 0),
         rplane_big_all("POmloop01", 0, 2, 1, 0)) + ap + bp
     PO_b3 = jnp.where(lv >= iv + TURN + 1,
                       rplane_big_all("PfromO", 0, 2, 1, 0), INF)
-    POv = jnp.where(g2(pt, iv, lv) > 0,
+    POv = jnp.where(pt_il > 0,
                     mmin(POiloop, POmloop_v + bp, PO_b3), INF)
     POs = enc(POv, valid4)
 
@@ -484,161 +497,16 @@ def span_gapped7(C, SC4, st, s, gi: int, SEGS):
     basePfromL = RI("PfromL", WPt, 1)
     basePfromR = RL("PfromR", WPt, 1)
 
-    # ---- serial loop over tt (descending), identical to gapped4 ----------
-    qv = jnp.arange(TB)[:, None, None]
-    ii1 = jnp.arange(IB)[None, :, None]
-    jj1 = jnp.arange(n2)[None, None, :]
-    UK = n2 + TB + 1
-    qq = jnp.arange(TB)[:, None]
-    aa = jnp.arange(UK)[None, :]
-    jrow = jnp.arange(n2)[None, :]
-    ttq = jnp.arange(TB)[:, None]
+    # ---- serial loop over tt (descending): shared hot loop ----------------
+    from .ttloop import tt_loop
 
-    def g2b(X, a, b):
-        ok = (a >= 0) & (a < n2) & (b >= 0) & (b < n2)
-        v = X[jnp.clip(a, 0, n2 - 1), jnp.clip(b, 0, n2 - 1)]
-        return jnp.where(ok, v, INF)
-
-    WKX = {nm: g2b(X, jnp.broadcast_to(aa, (TB, UK)), aa + qq)
-           for nm, X in (("WP", WPt), ("WB", WBt), ("WBP", WBPg))}
-    WJX = {nm: g2b(X, jrow - qq, jnp.broadcast_to(jrow, (TB, n2)))
-           for nm, X in (("WP", WPt), ("WB", WBt), ("WBP", WBPg))}
-    CJK = g2b(canp, jnp.broadcast_to(jrow, (TB, n2)), jrow + ttq + 2)
-    PJK = g2b(pt, jnp.broadcast_to(jrow, (TB, n2)), jrow + ttq + 2)
-    EJK = g2b(ESTP, jnp.broadcast_to(jrow - 1, (TB, n2)), jrow + ttq + 3)
-
-    validp = _pad(valid4, 0, 0, TB + 2, False)
-    PLpad = _pad(PLs, 0, 0, 2, NP_INF)
-    PRpad = _pad(PRs, 0, 0, 2, NP_INF)
-    mdp = _pad(jnp.minimum(PLs, PRs) + PB, 0, 0, TB + 2, NP_INF)
-
-    def to_u(plane, tt):
-        return jax.lax.dynamic_update_slice(
-            jnp.full((IB, UB), NP_INF, jnp.int32), plane, (0, tt))
-
-    cur = {name: jnp.where(validp, jnp.int32(SAT16), NP_INF)
-           for name in LOOP_MATS}
-    for name in B4_MATS:
-        cur["B_" + name] = jnp.full((2 * TB + 2, IB, UB), NP_INF, jnp.int32)
-    cur["STM"] = jnp.full((TB + 2 * PADT4, IB, UB), NP_INF, jnp.int32)
-
-    jr = jv[0]
-    ir = iv[0]
-    i1r = jnp.arange(IB)[:, None]
-    u1r = jnp.arange(UB)[None, :]
-
-    def t_body(m, cur):
-        tt = s - 2 - m
-
-        wk = {nm: jax.lax.dynamic_slice(W, (0, tt + 2), (TB, n2))
-              for nm, W in WKX.items()}
-
-        def red_k(slab, w, k1):
-            rows = jax.lax.dynamic_slice(slab, (tt + 1, 0, 0), (TB, IB, n2))
-            vals = rows + w[:, None, :]
-            if k1:
-                vals = jnp.where(qv <= (s - 4 - tt) - jj1 + ii1, vals, INF)
-            return jnp.min(vals, axis=0)
-
-        def red_j(slabB, w, j1):
-            rows = jax.lax.dynamic_slice(slabB, (tt + 1, 0, tt),
-                                         (TB, IB, n2))
-            vals = rows + w[:, None, :]
-            if j1:
-                vals = jnp.where(qv <= jj1 - ii1 - 2, vals, INF)
-            return jnp.min(vals, axis=0)
-
-        def plane_cur(slab, c, dj):
-            sl = jax.lax.dynamic_slice(slab, (tt + c, 0, 0), (1, IB, n2))[0]
-            if dj == -1:
-                sl = _pad(sl, 1, 1, 0, NP_INF)[:, :n2]
-            return sl
-
-        def base_at(base):
-            return jax.lax.dynamic_slice(base, (tt, 0, 0), (1, IB, n2))[0]
-
-        out = {}
-        out["PLmloop00"] = mmin(SAT16 + bp, base_at(basePLm00),
-                                red_j(cur["B_PLmloop00"], WJX["WB"], False))
-        out["PLmloop01"] = red_j(cur["B_PLmloop00"], WJX["WBP"], False)
-        out["PLmloop10"] = jnp.minimum(
-            base_at(basePLm10), red_j(cur["B_PLmloop10"], WJX["WB"], True))
-        out["PRmloop00"] = mmin(SAT16 + bp, base_at(basePRm00),
-                                red_k(cur["PRmloop00"], wk["WB"], False))
-        out["PRmloop10"] = jnp.minimum(
-            plane_cur(cur["PRmloop10"], 1, 0) + cp,
-            red_k(cur["PRmloop00"], wk["WBP"], False))
-        out["PMmloop00"] = mmin(
-            SAT16 + bp,
-            red_j(cur["B_PMmloop00"], WJX["WB"], False),
-            red_k(cur["PMmloop00"], wk["WB"], False))
-        out["PMmloop01"] = jnp.minimum(
-            plane_cur(cur["PMmloop01"], 1, 0) + cp, base_at(basePMm01))
-        out["PMmloop10"] = jnp.minimum(
-            plane_cur(cur["PMmloop10"], 1, -1) + cp, base_at(basePMm10))
-
-        slPM = jax.lax.dynamic_slice(
-            cur["STM"], (tt + 2, 0, 0), (2 * DS, IB, UB))
-        dpm = jax.lax.dynamic_slice(
-            SC4["DPM"], (0, 0, tt, 0), (DS, DS, 1, U))[:, :, 0]
-        dpm = _pad(dpm, 2, 0, UB - U, NP_INF) if UB > U else dpm[:, :, :UB]
-        pm_acc = jnp.full((IB, UB), NP_INF, dtype=jnp.int32)
-        d1v = jnp.arange(1, DS + 1)[:, None, None]
-        for d2 in range(1, DS + 1):
-            sub = slPM[d2 - 1: d2 - 1 + DS]
-            sh2 = min(d2, UB)
-            subu = _pad(sub, 2, 0, sh2, NP_INF)[:, :, sh2:]
-            mask = ((d1v <= (u1r - tt) - i1r - 1)
-                    & (d2 <= (i1r + s - u1r - 2) - 1))
-            valsm = jnp.where(mask, subu + dpm[:, d2 - 1][:, None, :], INF)
-            pm_acc = jnp.minimum(pm_acc, jnp.min(valsm, axis=0))
-        pm_int = jax.lax.dynamic_slice(pm_acc, (0, tt), (IB, n2))
-
-        canp_jk = jax.lax.dynamic_slice(CJK, (tt, 0), (1, n2))
-        pt_jk = jax.lax.dynamic_slice(PJK, (tt, 0), (1, n2))
-        estp_jk = jax.lax.dynamic_slice(EJK, (tt, 0), (1, n2))
-        pm_stack = plane_cur(cur["PM"], 2, -1) + estp_jk
-        PMiloop = jnp.where(canp_jk > 0, jnp.minimum(pm_stack, pm_int), INF)
-        PMmloop_v = jnp.minimum(plane_cur(cur["PMmloop10"], 2, -1),
-                                plane_cur(cur["PMmloop01"], 2, -1)) + ap + bp
-        PM_b3 = plane_cur(cur["PfromM"], 2, -1)
-        PM_b4 = jnp.where((ir == jr) & (ir + s == jr + tt + 2), 0, INF)
-        PMv = jnp.where(pt_jk > 0,
-                        mmin(PMiloop, PMmloop_v + bp, PM_b3, PM_b4), INF)
-        out["PM"] = PMv
-
-        vmask = jax.lax.dynamic_slice(valid4, (tt, 0, 0), (1, IB, n2))[0]
-        PMs_t = enc(PMv, vmask)
-        PLs_t = jax.lax.dynamic_slice(PLpad, (tt, 0, 0), (1, IB, n2))[0]
-        PRs_t = jax.lax.dynamic_slice(PRpad, (tt, 0, 0), (1, IB, n2))[0]
-        POs_t = jax.lax.dynamic_slice(POs, (tt, 0, 0), (1, IB, n2))[0]
-
-        out["PfromL"] = mmin(
-            base_at(basePfromL),
-            red_j(cur["B_PfromL"], WJX["WP"], True),
-            PRs_t + PB, PMs_t + PB, POs_t + PB)
-        out["PfromR"] = mmin(
-            base_at(basePfromR),
-            red_k(cur["PfromR"], wk["WP"], True),
-            PMs_t + PB, POs_t + PB)
-        out["PfromM"] = red_j(cur["B_PfromMprime"], WJX["WP"], True)
-        out["PfromMprime"] = red_k(mdp, wk["WP"], True)
-        out["PK"] = mmin(
-            red_j(cur["B_PK"], WJX["WP"], True),
-            red_k(cur["PK"], wk["WP"], True),
-            PLs_t + PB, PMs_t + PB, PRs_t + PB, POs_t + PB)
-
-        new_cur = dict(cur)
-        for name in LOOP_MATS:
-            encp = enc(out[name], vmask)
-            new_cur[name] = cur[name].at[tt].set(encp)
-            if name in B4_MATS:
-                new_cur["B_" + name] = cur["B_" + name].at[tt].set(
-                    to_u(encp, tt))
-        new_cur["STM"] = cur["STM"].at[tt].set(to_u(enc(out["PM"], vmask), tt))
-        return new_cur
-
-    cur = jax.lax.fori_loop(0, jnp.maximum(s - 1, 0), t_body, cur)
+    bases = {"PLmloop00": basePLm00, "PLmloop10": basePLm10,
+             "PRmloop00": basePRm00, "PMmloop01": basePMm01,
+             "PMmloop10": basePMm10, "PfromL": basePfromL,
+             "PfromR": basePfromR}
+    mdp0 = jnp.minimum(PLs, PRs) + PB       # PfromMdoubleprime base
+    cur = tt_loop(C, SC4, WBt, WPt, WBPg, bases, PLs, PRs, POs, mdp0,
+                  valid4, s, TB, IB)
 
     # ---- write-back into segment gi --------------------------------------
     def pack(slab32):
