@@ -290,11 +290,17 @@ def partition(
     z = float(res["W"][tabs.n])
     if not _math.isfinite(z) or z <= 0.0:
         # the reference's own pf stack NaNs silently on long sequences
-        # (src/CCJ.cc:105, src/part_func.cc:107); fail loudly instead
+        # (src/CCJ.cc:105, src/part_func.cc:107); fail loudly instead.
+        # Measured envelope (tools/pf_envelope.py, random seqs at 37C):
+        # float32 vs float64 rel. error ~2e-7 at n=32/48, ~8e-7 at n=64;
+        # Z grows ~10^0.57 per nt and OVERFLOWS float32 (3.4e38) near
+        # n ~ 80-85 (measured NaN at n=96, Z64 = 2.05e43).
         raise FloatingPointError(
             f"partition function overflow/underflow: Z = {z!r} at n = "
-            f"{tabs.n} (float32 device pf is validated to n~200; "
-            "use device=False for the float64 host engine)")
+            f"{tabs.n} (float32 device pf is accurate to ~1e-6 up to "
+            "n~64 and overflows near n~80-85 — measured, tools/"
+            "pf_envelope.py; enable jax_enable_x64 for a float64 device "
+            "fill, or device=False for the float64 host oracle)")
     counts, _ = sample_structures(tabs, sp, pk, res, num_samples=num_samples,
                                   seed=seed)
     import numpy as _np

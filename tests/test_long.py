@@ -29,3 +29,42 @@ def test_n126_anchor_packed_engine():
     r = fold(seq)
     assert r.structure == structure
     assert abs(r.energy - energy) < 1e-9
+
+
+@pytest.mark.skipif(not os.environ.get("CCJ_LONG"),
+                    reason="n=134 full fold: set CCJ_LONG=1 (TPU: ~40 s)")
+def test_n134_anchor_lane_packed_engine():
+    """First length past fill7's 128-lane ceiling (n2 = 136 > 128): runs
+    the lane-aware fill8 (round-5); byte-identical to the reference."""
+    from ccj_tpu import fold
+
+    seq, structure, energy = _anchor("seed42_n134.txt")
+    r = fold(seq)
+    assert r.structure == structure
+    assert abs(r.energy - energy) < 1e-9
+
+
+@pytest.mark.skipif(not os.environ.get("CCJ_LONG"),
+                    reason="n=150 full fold: set CCJ_LONG=1 (TPU: ~1 min; "
+                           "the reference needs 316.6 s on one core)")
+def test_n150_anchor_lane_packed_engine():
+    from ccj_tpu import fold
+
+    seq, structure, energy = _anchor("seed42_n150.txt")
+    r = fold(seq)
+    assert r.structure == structure
+    assert abs(r.energy - energy) < 1e-9
+
+
+@pytest.mark.skipif(not os.environ.get("CCJ_VERYLONG"),
+                    reason="n=200 does not fit one 16 GB chip yet (lane-"
+                           "aware state ~27 GB; README 'Memory'); runs "
+                           "sharded via dist/wavefront.fill8_sharded on "
+                           "hardware with >= 2 chips: CCJ_VERYLONG=1")
+def test_n200_anchor():
+    from ccj_tpu import fold
+
+    seq, structure, energy = _anchor("seed42_n200.txt")
+    r = fold(seq)
+    assert r.structure == structure
+    assert abs(r.energy - energy) < 1e-9

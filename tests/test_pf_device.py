@@ -63,3 +63,27 @@ def test_partition_api_device_equals_host():
     b = partition(seq, num_samples=10, device=False)
     assert abs(a.ensemble_energy - b.ensemble_energy) < 1e-3
     assert abs(a.Z - b.Z) / b.Z < 2e-4
+
+
+def test_pf_float32_envelope_small():
+    """float32 vs float64 device PF at n=24: rel error must stay ~1e-6.
+    The measured envelope (tools/pf_envelope.py, run round 5): rel err
+    2.3e-7 @ n=32, 2.0e-7 @ n=48, 2.2e-7 @ n=64; float32 OVERFLOWS near
+    n~80-85 (Z grows ~10^0.57/nt; NaN measured at n=96 where Z=2e43).
+    api.partition's error message carries these numbers."""
+    import random
+
+    import jax
+
+    rng = random.Random(42)
+    seq = "".join(rng.choice("ACGU") for _ in range(24))
+    sp, tabs = _setup(seq)
+    r32 = pf_fill_device(tabs, sp, DEFAULT_PK, dtype=np.float32)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        r64 = pf_fill_device(tabs, sp, DEFAULT_PK, dtype=np.float64)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    z32 = float(np.asarray(r32["W"])[tabs.n])
+    z64 = float(np.asarray(r64["W"])[tabs.n])
+    assert abs(z32 - z64) / abs(z64) < 1e-5, (z32, z64)
