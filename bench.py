@@ -274,14 +274,42 @@ def main():
                     help="run the 1-vs-2-process CPU corpus scaling bench")
     ap.add_argument("--engine", type=int, default=None,
                     help="fill version override (default: env/6)")
+    ap.add_argument("--one", type=int, default=None,
+                    help="internal: run ONE size in this process and print "
+                         "'wall compile' on stdout")
+    ap.add_argument("--inproc", action="store_true",
+                    help="run all sizes in this process (default: one "
+                         "subprocess per size — a 14 GB n=150 fill leaves "
+                         "the shared device fouled for the next size)")
     args = ap.parse_args()
+
+    if args.one is not None:
+        secs, compile_s = run_single(args.one, version=args.engine,
+                                     trace_dir=args.trace)
+        print(f"BENCH_ONE {secs!r} {compile_s!r}")
+        return 0
+
+    def run_size(n):
+        if args.inproc or args.trace:
+            return run_single(n, version=args.engine, trace_dir=args.trace)
+        import subprocess
+
+        cmd = [sys.executable, __file__, "--one", str(n)]
+        if args.engine is not None:
+            cmd += ["--engine", str(args.engine)]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=3600)
+        for line in out.stdout.splitlines():
+            if line.startswith("BENCH_ONE "):
+                _, w, c = line.split()
+                return float(w), float(c)
+        raise RuntimeError(out.stderr[-500:] or out.stdout[-500:])
 
     results = []
     walls = {}
     for n in [int(x) for x in args.sizes.split(",")]:
         try:
-            secs, compile_s = run_single(n, version=args.engine,
-                                         trace_dir=args.trace)
+            secs, compile_s = run_size(n)
         except Exception as exc:  # noqa: BLE001 — try the next size
             print(f"bench n={n} failed: {exc}", file=sys.stderr)
             continue

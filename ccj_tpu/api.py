@@ -175,7 +175,7 @@ def fold_many(
     folds one sequence per process, src/CCJ.cc:67-72).
 
     ``batch_limit`` caps how many fills' device state may be live at
-    once (the dense n<=110 state is ~1 GB per sequence).
+    once (the dense n<=100 state is ~1 GB per sequence).
     """
     from .dist.batch import bucket_for
     from .engine.fold import DENSE_MAX_N, best_fill

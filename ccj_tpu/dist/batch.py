@@ -30,9 +30,9 @@ from ..params.scaling import ScaledParams
 from ..precompute import build_seq_tables, pad_seq_tables
 
 # Bucket boundaries: one compiled executable per bucket per dangle model.
-# 110 == engine.fold.DENSE_MAX_N: lengths 101-110 must NOT bucket past the
-# dense engine's reach (a 105-nt fold padded to 128 blows every minor axis
-# to 256 lanes and OOMs the chip the unpadded engines handle comfortably).
+# Lengths past engine.fold.DENSE_MAX_N (= 100; a dense n=110 fill was
+# measured to OOM the 16 GB chip) are never bucket-padded: they run the
+# packed fill8 at their exact length (api.fold / fold_many route them).
 BUCKETS = (16, 24, 32, 48, 64, 80, 100, 110, 128, 160, 200, 256, 320)
 
 

@@ -469,23 +469,36 @@ def fill8(C, SC4, n: int, dangles: int, SEGS):
 
 
 # Largest n whose dense [T, S, n2, n2] state (~29 arrays) fits one 16 GB
-# chip with working room; beyond it best_fill switches to the packed fill7.
-DENSE_MAX_N = 110
+# chip with working room; beyond it best_fill switches to the packed fill8.
+# Round 5: lowered 110 -> 100 — a dense n=110 fill was measured to OOM on
+# the real chip (~10 GB of arguments + the span phase's temporaries; the
+# round-4 boundary was documented but never chip-verified in 101-125).
+DENSE_MAX_N = 100
+
+
+# Largest n whose packed minor axis (n2 = n + 2) stays within one 128-lane
+# tile: up to here the v5 packed layout (fill7) is already lane-exact and
+# measured ~2x faster than the jd-relative fill8 (n=126: 3.65 s vs 6.8 s —
+# fill8 pays skew conversions it only needs past the lane boundary).
+LANE_MAX_N = 126
 
 
 def default_version(n: int | None = None) -> int:
-    """Engine selection: CCJ_ENGINE overrides; default is the single-
-    dispatch fill6, or the lane-aware packed fill8 beyond the dense HBM
-    reach (n=134/150 anchors byte-identical on chip; fill7's 128-lane
-    ceiling capped it at n=126)."""
+    """Engine selection: CCJ_ENGINE overrides; defaults are the single-
+    dispatch dense fill6 (n <= 100), the packed fill7 while its n2-wide
+    minor axis is still lane-exact (101-126), and the lane-aware packed
+    fill8 beyond the 128-lane boundary (n=134/150 anchors byte-identical
+    on chip; fill7 OOMs there: n2 pads 136 -> 256 lanes on every array)."""
     import os
 
     v = os.environ.get("CCJ_ENGINE")
     if v is not None:
         return int(v)
-    if n is not None and n > DENSE_MAX_N:
-        return 8
-    return 6
+    if n is None or n <= DENSE_MAX_N:
+        return 6
+    if n <= LANE_MAX_N:
+        return 7
+    return 8
 
 
 def best_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties,

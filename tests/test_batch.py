@@ -24,7 +24,7 @@ def test_bucket_for():
     assert bucket_for(16) == 16
     assert bucket_for(17) == 24
     assert bucket_for(100) == 100
-    assert bucket_for(101) == 110   # DENSE_MAX_N guard bucket
+    assert bucket_for(101) == 110   # unused by fold: 101+ runs packed unbucketed
     assert bucket_for(111) == 128
     assert bucket_for(999) == 999
 
