@@ -37,7 +37,8 @@ REF_SECONDS = {30: 0.037, 60: 1.43, 100: 28.7, 126: 117.0, 150: 316.6,
 # oracle-parity-tested engine (tests/test_fill.py ties the engine to the
 # reference cell-by-cell); a fast-but-wrong regression fails the assert
 # instead of benching green.
-BENCH_V = {30: 332, 60: -176, 100: -1528, 126: -2010}
+BENCH_V = {30: 332, 60: -176, 100: -1528, 110: -1997, 126: -2010,
+           134: -2268, 150: -2353}
 
 # Roofline context (documented estimate, not measured): each 4-D cell does
 # ~O(n) int32 min-plus candidate ops across its 22 families plus the

@@ -68,3 +68,14 @@ def test_n200_anchor():
     r = fold(seq)
     assert r.structure == structure
     assert abs(r.energy - energy) < 1e-9
+
+
+@pytest.mark.skipif(not os.environ.get("CCJ_LONG"),
+                    reason="n=140 full fold: set CCJ_LONG=1 (TPU: ~1 min)")
+def test_n140_anchor_lane_packed_engine():
+    from ccj_tpu import fold
+
+    seq, structure, energy = _anchor("seed42_n140.txt")
+    r = fold(seq)
+    assert r.structure == structure
+    assert abs(r.energy - energy) < 1e-9
