@@ -8,25 +8,19 @@ gapped5.span_gapped7 / gapped6.span_gapped8; the storage layouts differ
 only OUTSIDE the loop (the loop works on dense per-span slabs), so the
 loop lives here once.
 
-Performance structure (round-5 profile of an n=100 fill: ~200k device ops
-of 5-30 us each, latency-bound, ~1.2 % of the min-plus roofline): the
-~25 small ops per tt step are restructured into a handful of STACKED ops —
-same-shaped reductions batched over a leading family axis — so each while
-iteration issues few, lane-filling ops instead of many tiny ones:
+Two bodies exist, dispatched by :func:`tt_loop`:
 
-  * KSTACK [6, TBpad, IB, n2]: the A-layout slabs consumed by k-shrink
-    reductions (PRmloop00 x2 weights, PMmloop00, PfromR, PfromMdoubleprime,
-    PK) — ONE slice + ONE masked min replaces 6 of each;
-  * JSTACK [7, 2TB+2, IB, UB]: the u-skewed slabs consumed by j-shrink
-    reductions (PLmloop00 x2, PLmloop10, PMmloop00, PfromL, PfromMprime,
-    PK) — likewise;
-  * MSTACK [5, TBpad, IB, n2]: the families read as single planes at
-    tt+1/tt+2 (PRmloop10, PMmloop01, PMmloop10, PM, PfromM) — two plane
-    slices replace 7;
-  * BASES [7, TB, IB, n2]: the span-constant cross-span reduction bases —
-    one slice replaces 7 gathers.
+* ``run_tt_loop_unstacked`` — the SHIPPING default: the round-4 per-family
+  formulation, now fed by the gather-free table builders below (the
+  round-5 profile showed the tt loop itself is only ~8 % of an n=100
+  fill; the former per-span TABLE GATHERS were the real cost).
+* ``run_tt_loop`` (CCJ_TT_STACKED=1) — an experiment batching the ~25
+  small per-step ops into a few stacked ones (KSTACK/JSTACK/MSTACK/BASES
+  with a leading family axis).  Bit-identical and ~4x fewer ops, but it
+  shifts XLA's layout assignment for the big carried state at n~100 into
+  ~8 GB of entry/exit layout copies; parked until that is tamed.
 
-Recurrences and tie-breaking order are unchanged (bit-identical;
+Recurrences and tie-breaking order are unchanged in both (bit-identical;
 reference: src/pseudo_loop.cc:181-679 carries the per-branch citations in
 engine/gapped.py).
 """

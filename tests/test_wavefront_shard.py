@@ -128,3 +128,27 @@ def test_sharded_packed_fill8_matches_unsharded():
                          capture_output=True, timeout=1500)
     assert res.returncode == 0, res.stderr.decode()[-3000:]
     assert b"wavefront-shard8-ok" in res.stdout
+
+
+def test_sharded_packed_fill8_matches_unsharded_n70():
+    """Deeper config-3 coverage (round-4 VERDICT weak #5): the sharded
+    lane-aware engine at n=70 — THREE span segments, so the mid-segment
+    exercises both a predecessor and a full history of cross-segment
+    reads under sharding.  ~15 min CPU; CCJ_SLOW-gated (runs in the CI
+    deep-parity job)."""
+    import pytest
+
+    if not os.environ.get("CCJ_SLOW"):
+        pytest.skip("set CCJ_SLOW=1 (runs in the CI deep-parity job)")
+    child = _CHILD8.replace("range(34)", "range(70)") \
+                   .replace("len(SEGS) == 2", "len(SEGS) == 3")
+    env = dict(os.environ)
+    env["CCJ_TPU_PLATFORM"] = "cpu"
+    env["CCJ_COMPILE_CACHE"] = "0"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    env["PYTHONPATH"] = str(REPO)
+    res = subprocess.run([sys.executable, "-c", child], env=env, cwd=REPO,
+                         capture_output=True, timeout=3000)
+    assert res.returncode == 0, res.stderr.decode()[-3000:]
+    assert b"wavefront-shard8-ok" in res.stdout
