@@ -31,7 +31,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 # reference single-core wall times (BASELINE.md, measured; 126 measured in
 # round 4 for the packed-engine anchor: /tmp-run of .ref_build/CCJ, 117 s)
 REF_SECONDS = {30: 0.037, 60: 1.43, 100: 28.7, 126: 117.0, 150: 316.6,
-               200: 1467.2}
+               160: 438.8, 200: 1467.2}
 
 # Golden V(1, n) values for the seed-42 bench sequences, produced by the
 # oracle-parity-tested engine (tests/test_fill.py ties the engine to the

@@ -79,3 +79,19 @@ def test_n140_anchor_lane_packed_engine():
     r = fold(seq)
     assert r.structure == structure
     assert abs(r.energy - energy) < 1e-9
+
+
+@pytest.mark.skipif(not os.environ.get("CCJ_VERYLONG"),
+                    reason="n=160 misses one 16 GB chip by ~0.7 GB "
+                           "(measured: 11.2 GB state + 5.2 GB program "
+                           "temps); the PKD span-split + PKE jd-capping "
+                           "designed in README 'Memory' would save "
+                           "~1.5 GB.  Golden generated from the "
+                           "reference (438.8 s on one core)")
+def test_n160_anchor():
+    from ccj_tpu import fold
+
+    seq, structure, energy = _anchor("seed42_n160.txt")
+    r = fold(seq)
+    assert r.structure == structure
+    assert abs(r.energy - energy) < 1e-9
