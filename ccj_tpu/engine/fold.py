@@ -429,14 +429,14 @@ def _fill8_segment(C, SC4, st, n: int, dangles: int, SEGS, gi: int):
     (~5 extra dispatches, irrelevant next to multi-second span loops).
     """
     from .gapped import compute_WBP_WPP_span
-    from .gapped6 import compute_P_span7, span_gapped8
+    from .gapped6 import compute_P_span8, span_gapped8
 
     C = {**C, "n": n}
     lo, hi = SEGS[gi][0], SEGS[gi][1]
 
     def body(s, st):
         st = compute_V_span(C, st, s, dangles)
-        st = compute_P_span7(C, st, s, SEGS, s_cap=hi)
+        st = compute_P_span8(C, st, s, SEGS, s_cap=hi)
         st = compute_WBP_WPP_span(C, st, s)
         st = span_gapped8(C, SC4, st, s, gi, SEGS)
         return compute_WMv_WMp_WM_span(C, st, s, dangles)

@@ -75,8 +75,27 @@ def _from_j(dense, JD, fill):
     return unskew_right(dense, fill, JD)
 
 
+def pkd_split(n: int, SEGS):
+    """(lo_half, T_lo, IB_hi): PKD splits at a mid segment boundary.
+
+    The dense PKD [T, S, n2, n2] is half dead: spans s < lo_half only use
+    tt <= s - 2 < lo_half - 2, and spans s >= lo_half only use
+    i <= n - s + 1 <= n - lo_half + 1.  Splitting at a SEGMENT boundary
+    keeps every write statically routed (each span segment's executable
+    touches exactly one half); only compute_P's per-lane history read
+    selects a half by its traced span.  Saves ~1.1 GB at n=160 — the
+    difference between fitting one chip and not."""
+    n2, T, S, U = dims(n)
+    k = len(SEGS) // 2
+    lo_half = SEGS[k][0] if len(SEGS) > 1 else S
+    T_lo = max(lo_half - 2, 1)
+    IB_hi = n - lo_half + 2
+    return lo_half, T_lo, IB_hi
+
+
 def init_big_state8(n: int, SEGS, pad_i: int = 1):
-    """Per-segment jd-packed arrays + the v5 PK diagonal skews.
+    """Per-segment jd-packed arrays + the PK diagonal skews (PKE per
+    m-segment; PKD split at a mid span boundary, see pkd_split).
 
     ``pad_i`` rounds every i/l-row axis (the ``wave`` sharding axis) up to
     a multiple, so an n_devices-way NamedSharding divides evenly; padded
@@ -98,31 +117,44 @@ def init_big_state8(n: int, SEGS, pad_i: int = 1):
                                         dtype=jnp.int16)
         TBE = max(min(n - lo, T), 1)
         IBE = n - lo + 2
-        st[f"PKE@{g}"] = jnp.full((TBE, ns, rp(IBE), n2), SAT16,
+        # PKE minor axis capped like the families: rows of m-segment g
+        # only hold a = j - i <= m - 2 < hi - 2
+        st[f"PKE@{g}"] = jnp.full((TBE, ns, rp(IBE), JD), SAT16,
                                   dtype=jnp.int16)
-    st["PKD"] = jnp.full((T, S, rp(n2), n2), SAT16, dtype=jnp.int16)
+    lo_half, T_lo, IB_hi = pkd_split(n, SEGS)
+    st["PKD_LO"] = jnp.full((T_lo, lo_half, rp(n2), n2), SAT16,
+                            dtype=jnp.int16)
+    st["PKD_HI"] = jnp.full((T, max(S - lo_half, 1), rp(IB_hi), n2), SAT16,
+                            dtype=jnp.int16)
     return st
 
 
-def update_pk_skews8(st, pk16, s, n, SEGS):
-    """update_pk_skews7 made robust to i-axis padding (init pad_i > 1):
-    per-segment PKE extents come from the arrays, not recomputed."""
+def update_pk_skews8(st, pk16, s, n, SEGS, gi: int):
+    """update_pk_skews7 made robust to i-axis padding (init pad_i > 1) and
+    aware of the PKD span split: segment ``gi`` writes exactly one half
+    (statically — the split sits on a segment boundary, pkd_split)."""
     n2, T, S, U = dims(n)
+    lo_half, T_lo, IB_hi = pkd_split(n, SEGS)
     TBp, IBp = pk16.shape[0], pk16.shape[1]
     slab = unskew_right(pk16, INT16_SAT, n2)          # [TBp, i, a]
     slab = jnp.pad(slab, ((0, T - TBp), (0, n2 - IBp), (0, 0)),
                    constant_values=INT16_SAT)
     new = dict(st)
-    new["PKD"] = jax.lax.dynamic_update_slice(
-        st["PKD"], slab[:, None], (0, s, 0, 0))
+    if SEGS[gi][1] <= lo_half:                        # spans s < lo_half
+        new["PKD_LO"] = jax.lax.dynamic_update_slice(
+            st["PKD_LO"], slab[:T_lo, None], (0, s, 0, 0))
+    else:                                             # spans s >= lo_half
+        new["PKD_HI"] = jax.lax.dynamic_update_slice(
+            st["PKD_HI"], slab[:, None, :IB_hi], (0, s - lo_half, 0, 0))
     for h, (lo, hi, *_r) in enumerate(SEGS):
         ns = hi - lo
         A = st[f"PKE@{h}"]
         TBE, _, IBE_a, _ = A.shape
+        JDE_a = A.shape[3]
         sl = slab[:TBE]
         if IBE_a > sl.shape[1]:
             sl = _pad(sl, 1, 0, IBE_a - sl.shape[1], INT16_SAT)
-        sl = sl[:, :IBE_a]
+        sl = sl[:, :IBE_a, :JDE_a]
         tti = jnp.arange(TBE)
         mloc = s - lo - tti
         okm = (mloc >= 0) & (mloc < ns)
@@ -130,6 +162,81 @@ def update_pk_skews8(st, pk16, s, n, SEGS):
         new[f"PKE@{h}"] = A.at[tti, mcl].set(
             jnp.where(okm[:, None, None], sl, A[tti, mcl]))
     return new
+
+
+def compute_P_span8(C, st, s, SEGS, s_cap=None):
+    """compute_P over the packed-PKE layout with the SPLIT PKD (see
+    gapped5.compute_P_span7 for the contraction — identical candidates;
+    only the F2 history slab read selects a PKD half by its traced span)."""
+    n = C["n"]
+    n2, T, S, U = dims(n)
+    lo_half, T_lo, IB_hi = pkd_split(n, SEGS)
+    S_hi = max(S - lo_half, 1)
+    PKD_LO, PKD_HI = st["PKD_LO"], st["PKD_HI"]
+    sat_rows = jnp.full((T, n2, n2), SAT16, dtype=jnp.int16)
+    ivp = jnp.arange(n2)[None, None, :]
+
+    def lane(a, acc):
+        u = s - a - 1
+        lo_sl = jax.lax.dynamic_slice(
+            PKD_LO, (0, jnp.clip(u, 0, lo_half - 1), 0, 0),
+            (T_lo, 1, n2, n2))[:, 0]
+        lo_sl = jnp.pad(lo_sl, ((0, T - T_lo), (0, 0), (0, 0)),
+                        constant_values=INT16_SAT)
+        hi_sl = jax.lax.dynamic_slice(
+            PKD_HI, (0, jnp.clip(u - lo_half, 0, S_hi - 1), 0, 0),
+            (T, 1, IB_hi, n2))[:, 0]
+        hi_sl = jnp.pad(hi_sl, ((0, 0), (0, n2 - IB_hi), (0, 0)),
+                        constant_values=INT16_SAT)
+        sl2 = jnp.where(u < lo_half, lo_sl, hi_sl)
+        sl2 = jnp.concatenate([sl2, sat_rows], axis=1)
+        F2 = jax.lax.dynamic_slice(sl2, (0, a + 1, 0), (T, n2, T))
+        F2 = jnp.pad(F2, ((0, S + 1 - T), (0, 0), (0, 0)),
+                     constant_values=INT16_SAT)        # c-axis room
+        for h, (lo, hi, *_r) in enumerate(SEGS):
+            ns = hi - lo
+            TBE = max(min(n - lo, T), 1)
+            IBE = n - lo + 2
+            c_start = jnp.maximum(lo - a - 2, 0)
+            delta = jnp.maximum(a + 2 - lo, 0)
+            JDE = st[f"PKE@{h}"].shape[3]
+            E = jax.lax.dynamic_slice(
+                st[f"PKE@{h}"], (0, 0, 0, jnp.clip(a, 0, JDE - 1)),
+                (TBE, ns, IBE, 1))[..., 0]
+            # capped minor axis: columns a >= JDE do not exist in this
+            # m-segment (a <= m - 2 < hi - 2); they read as unset
+            E = jnp.where(a < JDE, E, INT16_SAT)
+            Ep = jnp.pad(E, ((0, 0), (0, ns), (0, n2 - IBE)),
+                         constant_values=INT16_SAT)
+            F1p = jax.lax.dynamic_slice(
+                Ep, (0, delta, 0), (TBE, ns, n2)).astype(jnp.int32)
+            F2p = jax.lax.dynamic_slice(
+                F2, (c_start, 0, 0), (ns, n2, TBE)).astype(jnp.int32)
+            F2p = jnp.transpose(F2p, (2, 0, 1))        # [b-1, r, i]
+            bb = jnp.arange(TBE)[:, None, None]
+            rr = jnp.arange(ns)[None, :, None]
+            cc = c_start + rr                          # c - 1
+            ok = (
+                (a <= s - 2)
+                & (bb + cc + 2 <= s - 1 - a)
+                & (delta + rr < ns)                    # m < hi_h
+                & (ivp >= 1) & (ivp + s <= n)
+            )
+            vals = jnp.where(ok, F1p + F2p, INF)
+            acc = jnp.minimum(acc, jnp.min(vals, axis=(0, 1)))
+        return acc
+
+    def chunk_body(ci, acc):
+        for la in range(8):
+            acc = lane(ci * 8 + la, acc)
+        return acc
+
+    nch = jnp.maximum((s - 1 + 7) // 8, 0)
+    p_min = jax.lax.fori_loop(
+        0, nch, chunk_body, jnp.full((n2,), INF, dtype=jnp.int32))
+    from .gapped import _set_P_diag
+
+    return _set_P_diag(st, n, s, p_min)
 
 
 def span_gapped8(C, SC4, st, s, gi: int, SEGS):
@@ -504,4 +611,4 @@ def span_gapped8(C, SC4, st, s, gi: int, SEGS):
         cs = _from_j(packed[name], JDg, INT16_SAT)[:, 1:, :]
         new_st[f"C_{name}@{gi}"] = jax.lax.dynamic_update_slice(
             st[f"C_{name}@{gi}"], cs[:, None], (0, s - lo, s - lo, 0))
-    return update_pk_skews8(new_st, packed["PK"], s, n, SEGS)
+    return update_pk_skews8(new_st, packed["PK"], s, n, SEGS, gi)

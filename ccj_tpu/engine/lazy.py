@@ -120,12 +120,24 @@ class LazyMats:
                 return out
             return raw
         if name == "PK":
-            # PKD[tt, ss, i, a=j-i] -> slab[tt, i, j]
-            d = np.asarray(_fetch_span(self._dev["PKD"], ss))[:, 0]
-            T, n2 = d.shape[0], d.shape[1]
+            # PKD[tt, ss, i, a=j-i] -> slab[tt, i, j].  fill8 splits PKD
+            # at a mid span boundary (gapped6.pkd_split); fill7 keeps it
+            # dense.
+            if "PKD" in self._dev:
+                d = np.asarray(_fetch_span(self._dev["PKD"], ss))[:, 0]
+            else:
+                lo_half = self._dev["PKD_LO"].shape[1]
+                if ss < lo_half:
+                    d = np.asarray(
+                        _fetch_span(self._dev["PKD_LO"], ss))[:, 0]
+                else:
+                    d = np.asarray(
+                        _fetch_span(self._dev["PKD_HI"], ss - lo_half))[:, 0]
+            T = d.shape[0]
             out = np.full((T, n2, n2), SAT16, dtype=d.dtype)
-            for i in range(n2):
-                out[:, i, i:] = d[:, i, : n2 - i]
+            for i in range(min(n2, d.shape[1])):
+                w = min(n2 - i, d.shape[2])
+                out[:, i, i:i + w] = d[:, i, :w]
             return out
         # C_name[tt, ss, lrow = l-lo-1, minor] with l = i + ss:
         # slab rows i are the contiguous C rows starting at ss - lo - 1;
@@ -152,7 +164,13 @@ class LazyMats:
         in C (lexicographic) order — matching the reference's sequential
         strict-< scan (pseudo_loop.cc:867-897) and the numpy path in
         traceback.case_p."""
-        flat, v = _case_p_device(self._dev["PKD"], i, l, self.n)
+        if "PKD" in self._dev:
+            args = (self._dev["PKD"], self._dev["PKD"], self._dev["PKD"].shape[1])
+        else:
+            args = (self._dev["PKD_LO"], self._dev["PKD_HI"],
+                    self._dev["PKD_LO"].shape[1])
+        flat, v = _case_p_device(args[0], args[1], i, l, self.n,
+                                 lo_half=args[2])
         flat, v = int(flat), int(v)
         self.bytes_fetched += 16
         if v >= INF:
@@ -168,12 +186,14 @@ def _fetch_span(M, ss):
     return jax.lax.dynamic_slice(M, (0, ss, 0, 0), (T, 1, n2, M.shape[3]))
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _case_p_device(PKD, i, l, n: int):
+@functools.partial(jax.jit, static_argnames=("n", "lo_half"))
+def _case_p_device(PKD, PKD_HI, i, l, n: int, lo_half: int):
     """Masked (j, d, k) cube argmin, padded to the static [n+1]^3 shape so
     one executable serves every (i, l).  Reads the PKD diagonal layout
-    (PKD[tt, span, i, a=j-i] = PK[tt, span, i, j]), which is dense in both
-    the dense and the packed (fill7) engines."""
+    (PKD[tt, span, i, a=j-i] = PK[tt, span, i, j]).  For fill8's split
+    PKD, ``PKD`` is the low half, ``PKD_HI`` the high half and lo_half
+    the span boundary; for dense layouts both args alias one array and
+    lo_half == its span extent (the HI branch never selects)."""
     m = l - i
     P = n + 1
     oj = jnp.arange(P)[:, None, None]
@@ -183,15 +203,19 @@ def _case_p_device(PKD, i, l, n: int):
     dd = i + od
     kk = i + ok
 
-    T, S = PKD.shape[0], PKD.shape[1]
-
     def g4v(i_, j_, k_, l_):
         valid = (i_ <= j_) & (j_ < k_ - 1) & (k_ <= l_)
-        tt = jnp.clip(k_ - j_ - 2, 0, T - 1)
-        ss = jnp.clip(l_ - i_, 0, S - 1)
-        v = PKD[tt, ss,
-                jnp.clip(i_, 0, PKD.shape[2] - 1),
-                jnp.clip(j_ - i_, 0, PKD.shape[3] - 1)].astype(jnp.int32)
+        tt = k_ - j_ - 2
+        ss = l_ - i_
+
+        def pick(A, ss_a):
+            return A[jnp.clip(tt, 0, A.shape[0] - 1),
+                     jnp.clip(ss_a, 0, A.shape[1] - 1),
+                     jnp.clip(i_, 0, A.shape[2] - 1),
+                     jnp.clip(j_ - i_, 0, A.shape[3] - 1)].astype(jnp.int32)
+
+        v = jnp.where(ss < lo_half, pick(PKD, ss),
+                      pick(PKD_HI, ss - lo_half))
         return jnp.where(valid, v, INF)
 
     vals = g4v(i, jj, dd + 1, kk) + g4v(jj + 1, dd, kk + 1, l)

@@ -174,8 +174,18 @@ def test_fill8_lane_packed_matches_fill6():
     m8 = run_mine(seq, version=8)
     SEGS = segments7(n)
     n2 = n + 2
-    for name in ("V", "WM", "WMv", "WMp", "P2", "WBP", "WPP", "PKD"):
+    for name in ("V", "WM", "WMv", "WMp", "P2", "WBP", "WPP"):
         np.testing.assert_array_equal(m6[name], m8[name], name)
+    # split PKD (gapped6.pkd_split): both halves vs the dense diagonal skew
+    from ccj_tpu.engine.gapped6 import pkd_split
+
+    lo_half, T_lo, IB_hi = pkd_split(n, SEGS)
+    np.testing.assert_array_equal(
+        m6["PKD"][:T_lo, :lo_half],
+        m8["PKD_LO"][:, :, :m6["PKD"].shape[2], :], "PKD_LO")
+    np.testing.assert_array_equal(
+        m6["PKD"][:, lo_half:, :IB_hi],
+        m8["PKD_HI"][:, :, :IB_hi, :], "PKD_HI")
     for name in M4_STORED:
         for g, (lo, hi, TB, IB, Lc) in enumerate(SEGS):
             JD = jd_of(hi)

@@ -82,12 +82,12 @@ def test_n140_anchor_lane_packed_engine():
 
 
 @pytest.mark.skipif(not os.environ.get("CCJ_VERYLONG"),
-                    reason="n=160 misses one 16 GB chip by ~0.7 GB "
-                           "(measured: 11.2 GB state + 5.2 GB program "
-                           "temps); the PKD span-split + PKE jd-capping "
-                           "designed in README 'Memory' would save "
-                           "~1.5 GB.  Golden generated from the "
-                           "reference (438.8 s on one core)")
+                    reason="n=160 misses one 16 GB chip by ~0.8 GB: the "
+                           "round-5 PKD span-split + PKE jd-capping cut "
+                           "the state 11.21 -> 9.65 GB but program temps "
+                           "+ allocator fragmentation grew to 6.65 GB "
+                           "(README 'Memory').  Golden generated from "
+                           "the reference (438.8 s on one core)")
 def test_n160_anchor():
     from ccj_tpu import fold
 

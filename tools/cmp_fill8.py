@@ -24,10 +24,18 @@ SEGS = segments7(n)
 n2 = n + 2
 ok = True
 
-for nm in ("V", "Vtype", "WM", "WMv", "WMp", "P2", "WBP", "WPP", "PKD"):
+for nm in ("V", "Vtype", "WM", "WMv", "WMp", "P2", "WBP", "WPP"):
     if not np.array_equal(m6[nm], m8[nm]):
         print(f"MISMATCH {nm}")
         ok = False
+from ccj_tpu.engine.gapped6 import pkd_split
+lo_half, T_lo, IB_hi = pkd_split(n, SEGS)
+pkd6 = m6["PKD"]
+lo8, hi8 = m8["PKD_LO"], m8["PKD_HI"]
+if not np.array_equal(pkd6[:T_lo, :lo_half], lo8[:, :, :pkd6.shape[2], :]):
+    print("MISMATCH PKD_LO"); ok = False
+if not np.array_equal(pkd6[:, lo_half:, :IB_hi], hi8[:, :pkd6.shape[1]-lo_half, :IB_hi, :]):
+    print("MISMATCH PKD_HI"); ok = False
 print("2D+PKD:", "ok" if ok else "FAIL")
 
 
