@@ -455,12 +455,17 @@ def fill8(C, SC4, n: int, dangles: int, SEGS):
     long-sequence engine past the 128-lane boundary).
 
     Each family's minor axis is jd = j - i with per-segment extent
-    hi_g - 2 (engine/gapped6.py): the minor axis stays lane-exact past
-    n = 126, restoring the length reach the reference gets from simplex
-    packing (reference: src/matrices.hh:148-231).  State is donated
-    dispatch-to-dispatch so it never copies.
+    hi_g - 2, tt-blocked at tcut = hi - 130 so rows tt >= tcut store
+    exactly one 128-lane tile (engine/gapped6.py, segs8): the minor axis
+    stays lane-exact past n = 126, restoring the length reach the
+    reference gets from simplex packing (reference:
+    src/matrices.hh:148-231).  State is donated dispatch-to-dispatch so
+    it never copies.  ``SEGS`` must be the 6-tuple gapped6.segs8
+    schedule (segments7 + tcut).
     """
     from .gapped6 import init_big_state8
+
+    assert len(SEGS[0]) == 6, "fill8 needs gapped6.segs8(n), not segments7"
 
     st = init_state_2d(n)
     st.update(init_big_state8(n, SEGS))
@@ -526,9 +531,9 @@ def best_fill(tabs: SeqTables, P: ScaledParams, pk: PKPenalties,
                           P.dangles, min(version, 6))
         Cp = {k: jax.device_put(jnp.asarray(v)) for k, v in Cp.items()}
         if version == 8:
-            from .gapped5 import segments7
+            from .gapped6 import segs8
 
-            SEGS = segments7(tabs.n)
+            SEGS = segs8(tabs.n)
             return lambda: fill8(Cp, SC4, tabs.n, P.dangles, SEGS)
         if version == 7:
             from .gapped5 import segments7

@@ -60,6 +60,55 @@ def jd_of(hi: int) -> int:
     return max(hi - 2, 8)
 
 
+def segs8(n: int):
+    """Segment schedule for the lane-aware fill8: segments7 entries
+    extended with a tt-split row ``tcut``.
+
+    jd <= s - tt - 2 <= hi - 3 - tt also shrinks with tt, so rows
+    tt >= tcut = hi - 2 - BLK need only BLK = 128 jd columns — one lane
+    tile.  Each family/C array of a segment whose full minor extent
+    exceeds one lane tile is stored as TWO tt-blocks: ``name@g`` (rows
+    [0, tcut), full jd_of(hi) columns) and ``name@gt`` (rows [tcut, TB),
+    exactly BLK columns).  This is the (tt, jd) triangle half of the
+    reference's 24x simplex packing (src/matrices.hh:148-231) the
+    per-segment extents alone cannot express; at n=160 it cuts the fill8
+    state by ~1.4 GB — the difference between fitting one 16 GB chip and
+    not.  CCJ_JD_BLOCK overrides the 128-lane tile for CPU tests so the
+    split is exercised at small n."""
+    import os
+
+    blk = int(os.environ.get("CCJ_JD_BLOCK", "128"))
+    out = []
+    for (lo, hi, TB, IB, Lc) in segments7(n):
+        tcut = max(hi - 2 - blk, 0) if jd_of(hi) > blk else 0
+        out.append((lo, hi, TB, IB, Lc, tcut))
+    return tuple(out)
+
+
+def _lane(x: int) -> int:
+    """Round a minor-axis extent up to the TPU's 128-lane tile.
+
+    Arrays are ALLOCATED at the rounded width: HBM pads the minor axis to
+    the tile multiple regardless, so this costs no real memory — but it
+    makes logical size == padded size, which stops XLA's compressed-
+    rematerialization pass from keeping compressed copies of every state
+    array inside the span loop (measured at n=160: those copy pairs were
+    the bulk of the ~10 GB per-segment HLO temp).  Columns beyond the
+    true jd bound hold the unset value and are masked by validity
+    everywhere, exactly like the in-bound never-written cells."""
+    return max(-(-x // 128) * 128, 128)
+
+
+def _blocks(st, prefix, h, SEGS):
+    """The tt-blocks of ``prefix@h`` in ascending-tt order:
+    tuples (array, n_rows, JD_columns) at ALLOCATED widths."""
+    lo, hi, TB, IB, Lc, tcut = SEGS[h]
+    if tcut == 0:
+        return ((st[f"{prefix}@{h}"], TB, _lane(jd_of(hi))),)
+    return ((st[f"{prefix}@{h}"], tcut, _lane(jd_of(hi))),
+            (st[f"{prefix}@{h}t"], TB - tcut, _lane(jd_of(hi) - tcut)))
+
+
 def _to_j(P, n2, fill):
     """Dense-j view of a packed slab whose axis -2 row index IS the
     semantic i: out[..., i, j] = P[..., i, j - i] (missing jd -> fill)."""
@@ -100,21 +149,37 @@ def init_big_state8(n: int, SEGS, pad_i: int = 1):
     ``pad_i`` rounds every i/l-row axis (the ``wave`` sharding axis) up to
     a multiple, so an n_devices-way NamedSharding divides evenly; padded
     rows hold the unset value and are never read (every access slices the
-    exact SEGS extents)."""
+    exact SEGS extents).  Minor (jd) axes and second-minor (i/l) axes are
+    allocated at the TPU tile multiples (see _lane) — no extra HBM, and
+    it defuses the compressed-remat copies of the state."""
+    import math
+
+    mi = pad_i * 8 // math.gcd(pad_i, 8)   # int16 second-minor tile is 8
+
     def rp(x):
-        return ((x + pad_i - 1) // pad_i) * pad_i
+        return ((x + mi - 1) // mi) * mi
 
     n2, T, S, U = dims(n)
     st = {}
-    for g, (lo, hi, TB, IB, Lc) in enumerate(SEGS):
+    for g, (lo, hi, TB, IB, Lc, tcut) in enumerate(SEGS):
         ns = hi - lo
-        JD = jd_of(hi)
+        JD = _lane(jd_of(hi))
+        JDt = _lane(jd_of(hi) - tcut)
+        TA = tcut if tcut else TB
         for m in M4_STORED:
-            st[f"{m}@{g}"] = jnp.full((TB, ns, rp(IB), JD), SAT16,
+            st[f"{m}@{g}"] = jnp.full((TA, ns, rp(IB), JD), SAT16,
                                       dtype=jnp.int16)
+            if tcut:
+                st[f"{m}@{g}t"] = jnp.full(
+                    (TB - tcut, ns, rp(IB), JDt), SAT16,
+                    dtype=jnp.int16)
         for m in C_MATS:
-            st[f"C_{m}@{g}"] = jnp.full((TB, ns, rp(Lc), JD), SAT16,
+            st[f"C_{m}@{g}"] = jnp.full((TA, ns, rp(Lc), JD), SAT16,
                                         dtype=jnp.int16)
+            if tcut:
+                st[f"C_{m}@{g}t"] = jnp.full(
+                    (TB - tcut, ns, rp(Lc), JDt), SAT16,
+                    dtype=jnp.int16)
         TBE = max(min(n - lo, T), 1)
         IBE = n - lo + 2
         # PKE minor axis capped like the families: rows of m-segment g
@@ -122,10 +187,10 @@ def init_big_state8(n: int, SEGS, pad_i: int = 1):
         st[f"PKE@{g}"] = jnp.full((TBE, ns, rp(IBE), JD), SAT16,
                                   dtype=jnp.int16)
     lo_half, T_lo, IB_hi = pkd_split(n, SEGS)
-    st["PKD_LO"] = jnp.full((T_lo, lo_half, rp(n2), n2), SAT16,
+    st["PKD_LO"] = jnp.full((T_lo, lo_half, rp(n2), _lane(n2)), SAT16,
                             dtype=jnp.int16)
-    st["PKD_HI"] = jnp.full((T, max(S - lo_half, 1), rp(IB_hi), n2), SAT16,
-                            dtype=jnp.int16)
+    st["PKD_HI"] = jnp.full((T, max(S - lo_half, 1), rp(IB_hi), _lane(n2)),
+                            SAT16, dtype=jnp.int16)
     return st
 
 
@@ -154,6 +219,8 @@ def update_pk_skews8(st, pk16, s, n, SEGS, gi: int):
         sl = slab[:TBE]
         if IBE_a > sl.shape[1]:
             sl = _pad(sl, 1, 0, IBE_a - sl.shape[1], INT16_SAT)
+        if JDE_a > sl.shape[2]:   # lane-rounded alloc can exceed n2
+            sl = _pad(sl, 2, 0, JDE_a - sl.shape[2], INT16_SAT)
         sl = sl[:, :IBE_a, :JDE_a]
         tti = jnp.arange(TBE)
         mloc = s - lo - tti
@@ -244,7 +311,7 @@ def span_gapped8(C, SC4, st, s, gi: int, SEGS):
     gapped5.span_gapped7 with jd-packed storage access."""
     n = C["n"]
     n2, T, S, U = dims(n)
-    lo, hi, TB, IB, _Lc = SEGS[gi]
+    lo, hi, TB, IB, _Lc, tcut = SEGS[gi]
     UB = n2 + TB
     bp, cp, ap, PB = C["bp"], C["cp"], C["ap"], C["PB"]
     canp, pt, ESTP = C["can_pair"], C["ptype"], C["ESTP"]
@@ -281,21 +348,28 @@ def span_gapped8(C, SC4, st, s, gi: int, SEGS):
         return jnp.where(vmask, jnp.clip(v, -32768, SAT16), INF)
 
     # ---- segment-resolved plane reads ------------------------------------
+    def _cat_tt(parts):
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+
     def _seg_plane(name, h, u, c, rows):
         """[rows, IB+1, n2] dense-j slab of family ``name`` at span ``u``
         read from segment h, tt rows [c, c+rows), i rows [0, IB+1),
-        missing extents as SAT16."""
-        loh, hih, TBh, IBh, _ = SEGS[h]
-        JDh = jd_of(hih)
-        A = st[f"{name}@{h}"]
-        sl = jax.lax.dynamic_slice(
-            A, (0, jnp.clip(u - loh, 0, hih - loh - 1), 0, 0),
-            (TBh, 1, min(IB + 1, IBh), JDh))[:, 0]
+        missing extents as SAT16.  tt-blocked storage (segs8): each block
+        is sliced and jd-expanded at its own width, then concatenated —
+        the tail block's absent jd columns are SAT16 by the jd bound."""
+        loh, hih, TBh, IBh, _ = SEGS[h][:5]
+        I0 = min(IB + 1, IBh)
+        parts = []
+        for A, nb, JDb in _blocks(st, name, h, SEGS):
+            p = jax.lax.dynamic_slice(
+                A, (0, jnp.clip(u - loh, 0, hih - loh - 1), 0, 0),
+                (nb, 1, I0, JDb))[:, 0]
+            parts.append(_to_j(p, n2, INT16_SAT))  # row index == semantic i
+        sl = _cat_tt(parts)
         if IB + 1 > IBh:
             sl = _pad(sl, 1, 0, IB + 1 - IBh, INT16_SAT)
         sl = _pad(sl, 0, 0, max(c + rows - TBh, 0), INT16_SAT)
-        sl = jax.lax.slice(sl, (c, 0, 0), (c + rows, IB + 1, JDh))
-        return _to_j(sl, n2, INT16_SAT)      # row index == semantic i
+        return jax.lax.slice(sl, (c, 0, 0), (c + rows, IB + 1, n2))
 
     def rplane_big_all(name, c, b, di, dj):
         """value[tt, i, j] = read4(name, n, tt+c, s-b, i+di, j+dj)."""
@@ -322,20 +396,23 @@ def span_gapped8(C, SC4, st, s, gi: int, SEGS):
         read4(name, tt+c, u=s-b, i+di, j+dj) = C_name[tt+c, u, l, jd] at
         row l = (i+di) + u, jd = (j+dj) - (i+di)."""
         def part(h):
-            loh, hih, TBh, IBh, Lch = SEGS[h]
-            JDh = jd_of(hih)
-            A = _pad(st[f"C_{name}@{h}"], 2, 2, 0, INT16_SAT)  # 2 lead rows
+            loh, hih, TBh, IBh, Lch = SEGS[h][:5]
             off = s - b + di - loh - 1 + 2    # row of i = 0 (>= 0, see +2)
-            sl = jax.lax.dynamic_slice(
-                A, (0, jnp.clip(s - b - loh, 0, hih - loh - 1),
-                    jnp.clip(off, 0, Lch + 2 - IB), 0),
-                (TBh, 1, IB, JDh))[:, 0]
+            parts = []
+            for A, nb, JDb in _blocks(st, "C_" + name, h, SEGS):
+                Ap = _pad(A, 2, 2, 0, INT16_SAT)       # 2 lead rows
+                p = jax.lax.dynamic_slice(
+                    Ap, (0, jnp.clip(s - b - loh, 0, hih - loh - 1),
+                         jnp.clip(off, 0, Lch + 2 - IB), 0),
+                    (nb, 1, IB, JDb))[:, 0]
+                # row r holds semantic iread = r + di (jd = j - iread): the
+                # skew shifts by the row index r, so column u of the skewed
+                # slab holds j = u + di — a static residual right-shift by
+                # di (applied after the tt-block concat)
+                parts.append(_to_j(p, n2, INT16_SAT))
+            sl = _cat_tt(parts)
             sl = _pad(sl, 0, 0, max(c + TB - TBh, 0), INT16_SAT)
-            sl = jax.lax.slice(sl, (c, 0, 0), (c + TB, IB, JDh))
-            # row r holds semantic iread = r + di (jd = j - iread): the
-            # skew shifts by the row index r, so column u of the skewed
-            # slab holds j = u + di — a static residual right-shift by di
-            dsl = _to_j(sl, n2, INT16_SAT)
+            dsl = jax.lax.slice(sl, (c, 0, 0), (c + TB, IB, n2))
             if di:
                 dsl = _pad(dsl, 2, di, 0, INT16_SAT)[:, :, :n2]
             return dsl
@@ -361,13 +438,13 @@ def span_gapped8(C, SC4, st, s, gi: int, SEGS):
         """min over d in [1, G-g1] of name[tt, s-d, i, j] + X(l-d+1, l)."""
         acc = jnp.full((TB, IB, n2), NP_INF, dtype=jnp.int32)
         for h in range(gi + 1):
-            loh, hih, TBh, IBh, _ = SEGS[h]
-            JDh = jd_of(hih)
+            loh, hih, TBh, IBh, _ = SEGS[h][:5]
             nsh = hih - loh
-            A = st[f"{name}@{h}"]
-            blk = jax.lax.slice(
-                A, (0, 0, 0, 0), (TBh, nsh, IB, JDh))
-            win = _to_j(blk, n2, INT16_SAT).astype(jnp.int32)
+            parts = []
+            for A, nb, JDb in _blocks(st, name, h, SEGS):
+                blk = jax.lax.slice(A, (0, 0, 0, 0), (nb, nsh, IB, JDb))
+                parts.append(_to_j(blk, n2, INT16_SAT))
+            win = _cat_tt(parts).astype(jnp.int32)
             win = _pad(win, 0, 0, TB - TBh, I32_SAT)
             u_h = loh + jnp.arange(nsh)
             wl = g2(X, i1[None, :] + u_h[:, None] + 1,
@@ -382,37 +459,39 @@ def span_gapped8(C, SC4, st, s, gi: int, SEGS):
         """Dense-j view of C_name@h rows [lo, lo+IB): win[tt, sloc, lr, j]
         with lr <-> l = lo + lr.  jd = j - i = j - (l - u) needs a +lr and
         a -sloc shift: chain skew_right (by lr) with unskew_right (by
-        sloc), then a static (lo - loh) column shift."""
-        loh, hih, TBh, IBh, Lch = SEGS[h]
-        JDh = jd_of(hih)
+        sloc), then a static (lo - loh) column shift.  Runs per tt-block
+        (the pipeline is per-tt-row), concatenated on the tt axis."""
+        loh, hih, TBh, IBh, Lch = SEGS[h][:5]
         nsh = hih - loh
-        A = st[f"C_{name}@{h}"]
         off = lo - loh - 1                            # static
-        if not rows_pad_lead:
-            P = jax.lax.slice(A, (0, 0, off, 0),
-                              (TBh, nsh, off + IB, JDh))
-        else:  # h == gi: row l = lo is older-span territory, unset here
-            P = jax.lax.slice(A, (0, 0, 0, 0), (TBh, nsh, IB - 1, JDh))
-            P = _pad(P, 2, 1, 0, INT16_SAT)
-        # step 1: shift by +lr — skew over the (lr, jd) axes.
-        # col c1 = jd + lr = (j - base) + sloc with base = lo - loh.
-        Z = skew_right(P, INT16_SAT)                  # [.., lr, c1]
-        # step 2: shift by -sloc — unskew over the (sloc, col) axes.
-        # j - base can be NEGATIVE for history segments (j < lo - loh), so
-        # lead-pad by nsh columns first: u2 = j - base + nsh >= c1-sloc+nsh-... >= 0.
-        Zt = jnp.swapaxes(Z, 1, 2)                    # [tt, lr, sloc, c1]
-        Zt = _pad(Zt, 3, nsh, 0, INT16_SAT)           # c2 = c1 + nsh
-        base = lo - loh                               # static, >= 0
-        Aj = unskew_right(Zt, INT16_SAT, n2 - base + nsh)
-        # dense j sits at column u2 = j + (nsh - base)
-        shift = nsh - base
-        if shift >= 0:
-            win = Aj[..., shift: shift + n2]
-            if win.shape[-1] < n2:
-                win = _pad(win, 3, 0, n2 - win.shape[-1], INT16_SAT)
-        else:
-            win = _pad(Aj, 3, -shift, 0, INT16_SAT)[..., :n2]
-        return jnp.swapaxes(win, 1, 2)                # [tt, sloc, lr, j]
+        parts = []
+        for A, nb, JDb in _blocks(st, "C_" + name, h, SEGS):
+            if not rows_pad_lead:
+                P = jax.lax.slice(A, (0, 0, off, 0),
+                                  (nb, nsh, off + IB, JDb))
+            else:  # h == gi: row l = lo is older-span territory, unset here
+                P = jax.lax.slice(A, (0, 0, 0, 0), (nb, nsh, IB - 1, JDb))
+                P = _pad(P, 2, 1, 0, INT16_SAT)
+            # step 1: shift by +lr — skew over the (lr, jd) axes.
+            # col c1 = jd + lr = (j - base) + sloc with base = lo - loh.
+            Z = skew_right(P, INT16_SAT)              # [.., lr, c1]
+            # step 2: shift by -sloc — unskew over the (sloc, col) axes.
+            # j - base can be NEGATIVE for history segments (j < lo - loh),
+            # so lead-pad by nsh columns first: u2 = j - base + nsh >= 0.
+            Zt = jnp.swapaxes(Z, 1, 2)                # [tt, lr, sloc, c1]
+            Zt = _pad(Zt, 3, nsh, 0, INT16_SAT)       # c2 = c1 + nsh
+            base = lo - loh                           # static, >= 0
+            Aj = unskew_right(Zt, INT16_SAT, n2 - base + nsh)
+            # dense j sits at column u2 = j + (nsh - base)
+            shift = nsh - base
+            if shift >= 0:
+                win = Aj[..., shift: shift + n2]
+                if win.shape[-1] < n2:
+                    win = _pad(win, 3, 0, n2 - win.shape[-1], INT16_SAT)
+            else:
+                win = _pad(Aj, 3, -shift, 0, INT16_SAT)[..., :n2]
+            parts.append(jnp.swapaxes(win, 1, 2))     # [tt, sloc, lr, j]
+        return _cat_tt(parts)
 
     def RI(name, X, g1):
         """min over d in [1, sj-g1] of C_[name][tt, s-d, l, j] + X(i, i+d-1);
@@ -421,7 +500,7 @@ def span_gapped8(C, SC4, st, s, gi: int, SEGS):
         l_val = lo + jnp.arange(IB)                       # actual l per row
         i_val_t = l_val[None, :] - s                      # traced i = l - s
         for h in range(gi + 1):
-            loh, hih, TBh, IBh, _Lch = SEGS[h]
+            loh, hih, TBh, IBh, _Lch = SEGS[h][:5]
             nsh = hih - loh
             win = _c_dense(name, h, rows_pad_lead=(lo - loh - 1 < 0))
             win = win.astype(jnp.int32)
@@ -446,34 +525,36 @@ def span_gapped8(C, SC4, st, s, gi: int, SEGS):
         IW = IB + DS
 
         def part(h):
-            loh, hih, TBh, IBh, _ = SEGS[h]
-            JDh = jd_of(hih)
-            A = st[f"{name}@{h}"]
-            Ap = _pad(A, 1, DS, 0, INT16_SAT)     # span-axis lead pad
-            w = jax.lax.dynamic_slice(
-                Ap, (0, jnp.clip(s - loh, 0, hih - loh), 0, 0),
-                (TBh, DS, min(IW, IBh), JDh))
+            loh, hih, TBh, IBh, _ = SEGS[h][:5]
+            parts = []
+            for A, nb, JDb in _blocks(st, name, h, SEGS):
+                Ap = _pad(A, 1, DS, 0, INT16_SAT)     # span-axis lead pad
+                p = jax.lax.dynamic_slice(
+                    Ap, (0, jnp.clip(s - loh, 0, hih - loh), 0, 0),
+                    (nb, DS, min(IW, IBh), JDb))
+                parts.append(_to_j(p, n2, INT16_SAT))  # rows == semantic i
+            w = _cat_tt(parts)
             if IW > IBh:
                 w = _pad(w, 2, 0, IW - IBh, INT16_SAT)
-            w = _pad(w, 0, 0, max(rows - TBh, 0), INT16_SAT)[:rows]
-            return _to_j(w, n2, INT16_SAT)        # row index == semantic i
+            return _pad(w, 0, 0, max(rows - TBh, 0), INT16_SAT)[:rows]
 
         cur = part(gi)
         if gi > 0:
-            loh_p, hih_p, TBp, IBp, _ = SEGS[gi - 1]
-            JDp = jd_of(hih_p)
-            A = st[f"{name}@{gi - 1}"]
-            # trailing span pad: the window's tail rows (spans >= lo, taken
-            # from cur by the select below) would otherwise CLAMP this
-            # slice once s > lo and shift the real rows
-            Ap = _pad(A, 1, 0, DS, INT16_SAT)
-            w = jax.lax.dynamic_slice(
-                Ap, (0, s - DS - loh_p, 0, 0),
-                (TBp, DS, min(IB + DS, IBp), JDp))
+            loh_p, hih_p, TBp, IBp, _ = SEGS[gi - 1][:5]
+            parts = []
+            for A, nb, JDb in _blocks(st, name, gi - 1, SEGS):
+                # trailing span pad: the window's tail rows (spans >= lo,
+                # taken from cur by the select below) would otherwise
+                # CLAMP this slice once s > lo and shift the real rows
+                Ap = _pad(A, 1, 0, DS, INT16_SAT)
+                p = jax.lax.dynamic_slice(
+                    Ap, (0, s - DS - loh_p, 0, 0),
+                    (nb, DS, min(IB + DS, IBp), JDb))
+                parts.append(_to_j(p, n2, INT16_SAT))
+            w = _cat_tt(parts)
             if IB + DS > IBp:
                 w = _pad(w, 2, 0, IB + DS - IBp, INT16_SAT)
-            w = _pad(w, 0, 0, max(rows - TBp, 0), INT16_SAT)[:rows]
-            prev = _to_j(w, n2, INT16_SAT)
+            prev = _pad(w, 0, 0, max(rows - TBp, 0), INT16_SAT)[:rows]
             uu = s - DS + jnp.arange(DS)
             return jnp.where((uu >= lo)[None, :, None, None], cur, prev)
         return cur
@@ -587,7 +668,7 @@ def span_gapped8(C, SC4, st, s, gi: int, SEGS):
                   valid4, s, TB, IB)
 
     # ---- write-back into segment gi (unskew to jd) -----------------------
-    JDg = jd_of(hi)
+    JDg = _lane(jd_of(hi))
 
     def pack(slab32):
         v = jnp.clip(slab32[:TB], -32768, SAT16)
@@ -601,14 +682,27 @@ def span_gapped8(C, SC4, st, s, gi: int, SEGS):
         packed[name] = pack(v)
 
     new_st = dict(st)
+    # tt-blocked write (segs8): rows [0, tcut) keep the full JDg minor
+    # axis; rows [tcut, TB) hold jd <= s - tcut - 2, so the tail block's
+    # truncated unskew drops only never-set (SAT16) columns
+    JDt = _lane(jd_of(hi) - tcut)
+
+    def _wr(key, dense, i0_axis_drop, col):
+        if tcut == 0:
+            ps = _from_j(dense, JDg, INT16_SAT)[:, i0_axis_drop:]
+            return {key: jax.lax.dynamic_update_slice(
+                st[key], ps[:, None], (0, s - lo, col, 0))}
+        pa = _from_j(dense[:tcut], JDg, INT16_SAT)[:, i0_axis_drop:]
+        pb = _from_j(dense[tcut:], JDt, INT16_SAT)[:, i0_axis_drop:]
+        return {key: jax.lax.dynamic_update_slice(
+                    st[key], pa[:, None], (0, s - lo, col, 0)),
+                key + "t": jax.lax.dynamic_update_slice(
+                    st[key + "t"], pb[:, None], (0, s - lo, col, 0))}
+
     for name in M4_STORED:
-        ps = _from_j(packed[name], JDg, INT16_SAT)
-        new_st[f"{name}@{gi}"] = jax.lax.dynamic_update_slice(
-            st[f"{name}@{gi}"], ps[:, None], (0, s - lo, 0, 0))
+        new_st.update(_wr(f"{name}@{gi}", packed[name], 0, 0))
     for name in C_MATS:
         # C rows: local row l - lo - 1 = (s - lo) + (i - 1); drop the
         # (invalid) i = 0 row so the write starts at i = 1
-        cs = _from_j(packed[name], JDg, INT16_SAT)[:, 1:, :]
-        new_st[f"C_{name}@{gi}"] = jax.lax.dynamic_update_slice(
-            st[f"C_{name}@{gi}"], cs[:, None], (0, s - lo, s - lo, 0))
+        new_st.update(_wr(f"C_{name}@{gi}", packed[name], 1, s - lo))
     return update_pk_skews8(new_st, packed["PK"], s, n, SEGS, gi)

@@ -106,19 +106,28 @@ class LazyMats:
         lo = self._segs[g][0]
         n2 = self.n + 2
         if f"{name}@{g}" in self._dev:
-            raw = np.asarray(
-                _fetch_span(self._dev[f"{name}@{g}"], ss - lo))[:, 0]
-            if raw.shape[-1] < n2:
-                # lane-aware fill8 layout: minor axis is jd = j - i
-                # (engine/gapped6.py); expand to dense j for the traceback
-                T_, I_, JD = raw.shape
-                out = np.full((T_, I_, n2), SAT16, dtype=raw.dtype)
-                for i in range(I_):
-                    w = min(JD, n2 - i)
-                    if w > 0:
-                        out[:, i, i:i + w] = raw[:, i, :w]
-                return out
-            return raw
+            # fill8 tt-blocks (gapped6.segs8): "name@g" holds rows
+            # [0, tcut), "name@gt" rows [tcut, TB) at a narrower jd width;
+            # stitch them back along tt after the jd -> dense-j expansion
+            keys = [f"{name}@{g}"]
+            if f"{name}@{g}t" in self._dev:
+                keys.append(f"{name}@{g}t")
+            outs = []
+            for key in keys:
+                raw = np.asarray(_fetch_span(self._dev[key], ss - lo))[:, 0]
+                if raw.shape[-1] < n2:
+                    # lane-aware fill8 layout: minor axis is jd = j - i
+                    # (engine/gapped6.py); expand to dense j
+                    T_, I_, JD = raw.shape
+                    out = np.full((T_, I_, n2), SAT16, dtype=raw.dtype)
+                    for i in range(I_):
+                        w = min(JD, n2 - i)
+                        if w > 0:
+                            out[:, i, i:i + w] = raw[:, i, :w]
+                    outs.append(out)
+                else:
+                    outs.append(raw)
+            return outs[0] if len(outs) == 1 else np.concatenate(outs, 0)
         if name == "PK":
             # PKD[tt, ss, i, a=j-i] -> slab[tt, i, j].  fill8 splits PKD
             # at a mid span boundary (gapped6.pkd_split); fill7 keeps it
@@ -141,22 +150,29 @@ class LazyMats:
             return out
         # C_name[tt, ss, lrow = l-lo-1, minor] with l = i + ss:
         # slab rows i are the contiguous C rows starting at ss - lo - 1;
-        # the minor axis is dense j (fill7) or jd = j - i (fill8)
-        c = np.asarray(_fetch_span(self._dev[f"C_{name}@{g}"], ss - lo))[:, 0]
-        T, Lc, W = c.shape
-        out = np.full((T, min(Lc, n2), n2), SAT16, dtype=c.dtype)
-        base = ss - lo - 1
-        jd_packed = W < n2
-        for i in range(out.shape[1]):
-            r = base + i
-            if 0 <= r < Lc:
-                if jd_packed:
-                    w = min(W, n2 - i)
-                    if w > 0:
-                        out[:, i, i:i + w] = c[:, r, :w]
-                else:
-                    out[:, i, :] = c[:, r, :]
-        return out
+        # the minor axis is dense j (fill7) or jd = j - i (fill8), with
+        # fill8's tt-blocks ("C_name@gt" tail rows) stitched along tt
+        keys = [f"C_{name}@{g}"]
+        if f"C_{name}@{g}t" in self._dev:
+            keys.append(f"C_{name}@{g}t")
+        outs = []
+        for key in keys:
+            c = np.asarray(_fetch_span(self._dev[key], ss - lo))[:, 0]
+            T, Lc, W = c.shape
+            out = np.full((T, min(Lc, n2), n2), SAT16, dtype=c.dtype)
+            base = ss - lo - 1
+            jd_packed = W < n2
+            for i in range(out.shape[1]):
+                r = base + i
+                if 0 <= r < Lc:
+                    if jd_packed:
+                        w = min(W, n2 - i)
+                        if w > 0:
+                            out[:, i, i:i + w] = c[:, r, :w]
+                    else:
+                        out[:, i, :] = c[:, r, :]
+            outs.append(out)
+        return outs[0] if len(outs) == 1 else np.concatenate(outs, 0)
 
     # ---- device-side P split (see module docstring) ----------------------
     def case_p_argmin(self, i: int, l: int):

@@ -164,15 +164,18 @@ def test_fill8_lane_packed_matches_fill6():
     """The jd-packed (lane-aware) storage must be bit-equal to the dense
     engine: canonical families compared through the (i, jd) -> (i, j)
     expansion, C skews row-by-row, PKD directly (engine/gapped6.py)."""
-    from ccj_tpu.engine.gapped5 import M4_STORED, segments7
-    from ccj_tpu.engine.gapped6 import jd_of
+    _assert_fill8_matches_fill6(70)
 
-    n = 70
+
+def _assert_fill8_matches_fill6(n):
+    from ccj_tpu.engine.gapped5 import M4_STORED
+    from ccj_tpu.engine.gapped6 import jd_of, segs8
+
     rng = __import__("random").Random(42)
     seq = "".join(rng.choice("ACGU") for _ in range(n))
     m6 = run_mine(seq, version=6)
     m8 = run_mine(seq, version=8)
-    SEGS = segments7(n)
+    SEGS = segs8(n)
     n2 = n + 2
     for name in ("V", "WM", "WMv", "WMp", "P2", "WBP", "WPP"):
         np.testing.assert_array_equal(m6[name], m8[name], name)
@@ -180,20 +183,46 @@ def test_fill8_lane_packed_matches_fill6():
     from ccj_tpu.engine.gapped6 import pkd_split
 
     lo_half, T_lo, IB_hi = pkd_split(n, SEGS)
+    n2d = m6["PKD"].shape[3]
     np.testing.assert_array_equal(
         m6["PKD"][:T_lo, :lo_half],
-        m8["PKD_LO"][:, :, :m6["PKD"].shape[2], :], "PKD_LO")
+        m8["PKD_LO"][:, :, :m6["PKD"].shape[2], :n2d], "PKD_LO")
     np.testing.assert_array_equal(
         m6["PKD"][:, lo_half:, :IB_hi],
-        m8["PKD_HI"][:, :, :IB_hi, :], "PKD_HI")
+        m8["PKD_HI"][:, :, :IB_hi, :n2d], "PKD_HI")
     for name in M4_STORED:
-        for g, (lo, hi, TB, IB, Lc) in enumerate(SEGS):
+        for g, (lo, hi, TB, IB, Lc, tcut) in enumerate(SEGS):
             JD = jd_of(hi)
             dense = m6[name][:TB, lo:hi, :IB, :]
             packed = m8[f"{name}@{g}"]
+            if tcut:
+                # stitch the tt-blocks (gapped6.segs8): tail rows store
+                # fewer jd columns; the dropped columns are invalid
+                # (jd <= s - tt - 2) and unset in the dense layout
+                tail = m8[f"{name}@{g}t"]
+                pad = np.full(
+                    tail.shape[:3] + (packed.shape[3] - tail.shape[3],),
+                    32767, dtype=tail.dtype)
+                packed = np.concatenate(
+                    [packed, np.concatenate([tail, pad], axis=3)], axis=0)
             for i in range(IB):
                 w = min(JD, n2 - i)
                 if w > 0:
                     np.testing.assert_array_equal(
                         dense[:, :, i, i:i + w], packed[:, :, i, :w],
                         f"{name}@{g} i={i}")
+
+
+@pytest.mark.skipif(not os.environ.get("CCJ_SLOW"),
+                    reason="tt-split fill8 vs fill6 at n=48 is ~a minute "
+                           "on CPU; CCJ_SLOW=1")
+def test_fill8_ttsplit_matches_fill6(monkeypatch):
+    """The tt-blocked minor axis (gapped6.segs8: rows tt >= tcut store one
+    lane tile) must stay bit-equal to the dense engine.  The 128-lane
+    default never splits below n=132, so CCJ_JD_BLOCK=16 forces the split
+    at a CPU-feasible length — both segments carry a tail block here."""
+    monkeypatch.setenv("CCJ_JD_BLOCK", "16")
+    from ccj_tpu.engine.gapped6 import segs8
+
+    assert any(t for *_x, t in segs8(48)), segs8(48)
+    _assert_fill8_matches_fill6(48)

@@ -57,10 +57,10 @@ def test_n150_anchor_lane_packed_engine():
 
 
 @pytest.mark.skipif(not os.environ.get("CCJ_VERYLONG"),
-                    reason="n=200 does not fit one 16 GB chip yet (lane-"
-                           "aware state ~27 GB; README 'Memory'); runs "
-                           "sharded via dist/wavefront.fill8_sharded on "
-                           "hardware with >= 2 chips: CCJ_VERYLONG=1")
+                    reason="n=200 does not fit one 16 GB chip (tt-blocked "
+                           "lane-exact state ~18.6 GB; README 'Memory'); "
+                           "runs sharded via dist/wavefront.fill8_sharded "
+                           "on hardware with >= 2 chips: CCJ_VERYLONG=1")
 def test_n200_anchor():
     from ccj_tpu import fold
 
@@ -81,17 +81,43 @@ def test_n140_anchor_lane_packed_engine():
     assert abs(r.energy - energy) < 1e-9
 
 
-@pytest.mark.skipif(not os.environ.get("CCJ_VERYLONG"),
-                    reason="n=160 misses one 16 GB chip by ~0.8 GB: the "
-                           "round-5 PKD span-split + PKE jd-capping cut "
-                           "the state 11.21 -> 9.65 GB but program temps "
-                           "+ allocator fragmentation grew to 6.65 GB "
-                           "(README 'Memory').  Golden generated from "
-                           "the reference (438.8 s on one core)")
+@pytest.mark.skipif(not os.environ.get("CCJ_LONG"),
+                    reason="n=160 full fold: set CCJ_LONG=1 (TPU: ~6 min "
+                           "incl. compile; the reference needs 438.8 s on "
+                           "one core).  Fits one chip since the tt-block "
+                           "split + lane-exact allocation (gapped6.segs8)")
 def test_n160_anchor():
     from ccj_tpu import fold
 
     seq, structure, energy = _anchor("seed42_n160.txt")
+    r = fold(seq)
+    assert r.structure == structure
+    assert abs(r.energy - energy) < 1e-9
+
+
+@pytest.mark.skipif(not os.environ.get("CCJ_VERYLONG"),
+                    reason="n=170 needs ~11.9 GB of state + ~5 GB segment "
+                           "temps — over one 16 GB chip until the span "
+                           "phase's history-reduction temps shrink; runs "
+                           "sharded (dist/wavefront.fill8_sharded) on "
+                           ">= 2 chips.  Golden from the reference binary")
+def test_n170_anchor():
+    from ccj_tpu import fold
+
+    seq, structure, energy = _anchor("seed42_n170.txt")
+    r = fold(seq)
+    assert r.structure == structure
+    assert abs(r.energy - energy) < 1e-9
+
+
+@pytest.mark.skipif(not os.environ.get("CCJ_VERYLONG"),
+                    reason="n=180 lane-exact state is ~13.3 GB — over one "
+                           "16 GB chip with temps; runs sharded on >= 2 "
+                           "chips.  Golden from the reference binary")
+def test_n180_anchor():
+    from ccj_tpu import fold
+
+    seq, structure, energy = _anchor("seed42_n180.txt")
     r = fold(seq)
     assert r.structure == structure
     assert abs(r.energy - energy) < 1e-9

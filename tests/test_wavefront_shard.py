@@ -73,7 +73,7 @@ from jax.sharding import Mesh
 
 from ccj_tpu.engine.fold import best_fill, build_consts, prune_consts
 from ccj_tpu.engine.gapped4 import build_sc4
-from ccj_tpu.engine.gapped5 import segments7
+from ccj_tpu.engine.gapped6 import segs8
 from ccj_tpu.dist.wavefront import fill8_sharded
 from ccj_tpu.params import DEFAULT_PK, parse_par, scale_parameters
 from ccj_tpu.precompute import build_seq_tables
@@ -85,7 +85,7 @@ SEQ = "".join(rng.choice("ACGU") for _ in range(34))  # 2 packed segments
 assert len(jax.devices()) >= 8, jax.devices()
 sp = scale_parameters(parse_par("ccj_tpu/params/rna_DirksPierce09.par"))
 tabs = build_seq_tables(SEQ, sp, DEFAULT_PK)
-SEGS = segments7(tabs.n)
+SEGS = segs8(tabs.n)
 assert len(SEGS) == 2, SEGS
 ref = {k: np.asarray(v)
        for k, v in best_fill(tabs, sp, DEFAULT_PK, 8)().items()}
@@ -117,8 +117,11 @@ print("wavefront-shard8-ok")
 def test_sharded_packed_fill8_matches_unsharded():
     """The SHIPPING long-sequence engine (lane-aware fill8) sharded over
     ``wave`` equals the unsharded packed fill bit-for-bit, cross-segment
-    reads included (round-4 VERDICT missing #2)."""
+    reads included (round-4 VERDICT missing #2).  CCJ_JD_BLOCK=16 forces
+    the tt-block split (gapped6.segs8) at this small n, so the sharded
+    path is exercised over the split tail arrays too."""
     env = dict(os.environ)
+    env["CCJ_JD_BLOCK"] = "16"
     env["CCJ_TPU_PLATFORM"] = "cpu"
     env["CCJ_COMPILE_CACHE"] = "0"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
