@@ -29,16 +29,19 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 # reference single-core wall times (BASELINE.md, measured; 126 measured in
-# round 4 for the packed-engine anchor: /tmp-run of .ref_build/CCJ, 117 s)
+# round 4 for the packed-engine anchor: /tmp-run of .ref_build/CCJ, 117 s;
+# 170/180 measured solo this round while generating their goldens)
 REF_SECONDS = {30: 0.037, 60: 1.43, 100: 28.7, 126: 117.0, 150: 316.6,
-               160: 438.8, 200: 1467.2}
+               160: 438.8, 170: 663.0, 180: 917.0, 200: 1467.2}
 
 # Golden V(1, n) values for the seed-42 bench sequences, produced by the
 # oracle-parity-tested engine (tests/test_fill.py ties the engine to the
 # reference cell-by-cell); a fast-but-wrong regression fails the assert
-# instead of benching green.
+# instead of benching green.  The 160 entry comes from the fill whose
+# end-to-end structure matched the reference golden byte-for-byte
+# (tests/golden/long/seed42_n160.txt).
 BENCH_V = {30: 332, 60: -176, 100: -1528, 110: -1997, 126: -2010,
-           134: -2268, 150: -2353}
+           134: -2268, 150: -2353, 160: -2415}
 
 # Roofline context (documented estimate, not measured): each 4-D cell does
 # ~O(n) int32 min-plus candidate ops across its 22 families plus the
@@ -262,11 +265,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace", default=None,
                     help="dump a jax.profiler trace of one timed fill here")
-    ap.add_argument("--sizes", default="150,126,110,100,60",
+    ap.add_argument("--sizes", default="160,150,126,110,100,60",
                     help="fill sizes, headline first (= first success); "
                          "n>110 runs the lane-aware packed fill8 engine "
-                         "(150 was beyond the round-4 single-chip ceiling); "
-                         "110 pins the formerly-trapped 101-125 range")
+                         "(160 needs the round-5 tt-block split + lane-"
+                         "exact allocation; 150 was beyond the round-4 "
+                         "ceiling); 110 pins the formerly-trapped 101-125 "
+                         "range")
     ap.add_argument("--batch", type=int, default=8,
                     help="batch size for the n=60 batch bench (0 disables); "
                          "fills stream with 2 in flight, so any batch "
